@@ -1,0 +1,51 @@
+"""Single-track KCF integration: OTB-config stand-in (SURVEY.md §4.2,
+BASELINE.json configs[1]) — the batched tracker with T=1 must follow a
+moving textured object and match the NumPy oracle trajectory."""
+
+import numpy as np
+
+from tpu_mot.data import synthetic
+from tpu_mot.tracker.kcf_bank import KCFTracker
+from tpu_mot.config import KCFConfig
+
+import oracles
+
+
+def _sequence(n_frames=40, seed=3):
+    objs = [synthetic.SyntheticObject(cx=160, cy=120, w=28, h=24,
+                                      vx=2.0, vy=1.2)]
+    return synthetic.render_sequence(objs, n_frames, 240, 320, seed=seed,
+                                     noise=0.0)
+
+
+def test_kcf_tracks_moving_object():
+    frames, boxes, _ = _sequence()
+    tracker = KCFTracker(KCFConfig())
+    tracker.init(frames[0], boxes[0, 0])
+    errs = []
+    for f in range(1, len(frames)):
+        box, peak = tracker.update(frames[f])
+        gt = boxes[f, 0]
+        errs.append(np.hypot(box[0] - gt[0], box[1] - gt[1]))
+    # Center error within a fraction of the object size on every frame.
+    assert max(errs) < 6.0, max(errs)
+    assert np.mean(errs) < 3.0, np.mean(errs)
+
+
+def test_kcf_matches_oracle_trajectory():
+    frames, boxes, _ = _sequence(n_frames=25)
+    cfg = KCFConfig()
+    tracker = KCFTracker(cfg)
+    tracker.init(frames[0], boxes[0, 0])
+    oracle = oracles.KCFOracle(size=cfg.template_size, padding=cfg.padding,
+                               sigma=cfg.kernel_sigma, lambda_=cfg.lambda_,
+                               output_sigma_factor=cfg.output_sigma_factor,
+                               interp_factor=cfg.interp_factor)
+    oracle.init(frames[0], boxes[0, 0])
+    for f in range(1, len(frames)):
+        got, _ = tracker.update(frames[f])
+        want, _ = oracle.update(frames[f])
+        # float32 FFT-domain EMA vs float64 oracle: tolerance budget of
+        # SURVEY.md §7(d) — sub-pixel agreement per frame.
+        np.testing.assert_allclose(got[:2], want[:2], atol=0.75,
+                                   err_msg=f"frame {f}")

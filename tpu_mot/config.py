@@ -1,0 +1,104 @@
+"""Configuration for the TPU-native MOT framework.
+
+The C++ reference (huangfcn/multiple-object-tracking; mount was empty at survey
+time, see SURVEY.md §0) hardcodes its hyper-parameters as compile-time
+constants (KCF lambda/sigma/interp factor, patch size, association gates,
+track lifecycle ages).  Here every knob lives in one frozen, hashable
+dataclass so it can be passed as a jit static argument — the whole per-frame
+step specializes on it at trace time, exactly like the reference's #defines
+specialize its C code at compile time (SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class KCFConfig:
+    """Hyper-parameters of the KCF correlation-filter core.
+
+    Defaults follow the published KCF raw-pixel configuration
+    (arXiv:1404.7584 §8 / Table 1) and the common C++ KCF lineage the
+    reference belongs to (SURVEY.md §2 rows fft2d..kcf_detect).
+    """
+
+    # Template (patch) size in pixels; BASELINE.json configs[1] fixes 64x64.
+    template_size: int = 64
+    # Context padding: the tracked window covers padding * target box.
+    padding: float = 2.5
+    # Ridge-regression regularizer lambda (arXiv:1404.7584 eq. 17).
+    lambda_: float = 1e-4
+    # Gaussian kernel bandwidth sigma (arXiv:1404.7584 eq. 31).
+    kernel_sigma: float = 0.2
+    # Desired-response bandwidth: sigma_y = sqrt(h*w) / padding * this.
+    output_sigma_factor: float = 0.125
+    # Model EMA learning rate ("interp factor" in the C lineage).
+    interp_factor: float = 0.075
+    # Number of feature channels (1 = raw grayscale).
+    channels: int = 1
+    # Multi-scale search: scale step (1.0 disables; 1.05 = +-5% pyramid).
+    scale_step: float = 1.0
+    # Penalty applied to non-unit scale responses (scale hysteresis).
+    scale_weight: float = 0.95
+
+    @property
+    def spectrum_width(self) -> int:
+        """Width of the rfft2 half-spectrum."""
+        return self.template_size // 2 + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class KalmanConfig:
+    """Constant-velocity Kalman filter over box state [cx, cy, w, h, v*4].
+
+    The reference hand-rolls small-matrix KF per track (SURVEY.md §2 row
+    "kalman"); noise scales follow the SORT lineage.
+    """
+
+    pos_std_factor: float = 1.0 / 20.0   # measurement/process std ~ box size
+    vel_std_factor: float = 1.0 / 160.0
+    init_vel_cov: float = 1e4            # uninformative velocity prior
+    process_pos_std: float = 1.0 / 20.0
+    process_vel_std: float = 1.0 / 160.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Full MOT pipeline configuration (SURVEY.md §2 row "multitracker")."""
+
+    kcf: KCFConfig = KCFConfig()
+    kalman: KalmanConfig = KalmanConfig()
+
+    # Static capacity of the track bank (slots). BASELINE north star: 128.
+    max_tracks: int = 128
+    # Static per-frame detection capacity (padding target).
+    max_detections: int = 64
+
+    # Association.
+    iou_gate: float = 0.3          # min IoU for a feasible match
+    appearance_weight: float = 0.0  # cost = (1-w)*(1-IoU) + w*(1-appearance)
+    cost_infeasible: float = 1e4   # cost assigned to gated pairs
+
+    # Lifecycle (SORT-style tentative/confirmed/lost state machine).
+    n_init: int = 3                # hits to confirm a tentative track
+    max_age: int = 30              # frames unmatched before a track dies
+    max_age_tentative: int = 1     # unmatched frames allowed while tentative
+
+    # KCF integration: run correlation detect to refine predicted boxes.
+    use_kcf: bool = True
+    # Minimum KCF peak response to trust the correlation update.
+    min_psr: float = 0.0
+    # Detection confidence floor.
+    det_score_min: float = 0.0
+
+    # Frame geometry (static shapes for jit).
+    frame_height: int = 480
+    frame_width: int = 640
+
+    def replace(self, **kw) -> "TrackerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = TrackerConfig()

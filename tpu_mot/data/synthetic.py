@@ -1,0 +1,135 @@
+"""Synthetic moving-object sequences with known ground truth.
+
+The CI fixture mandated by SURVEY.md §4: textured rectangles on a textured
+background, constant-velocity motion with border bounce, per-frame ground
+truth boxes and visibility.  Used for single-track parity (OTB stand-in),
+MOT integration, golden determinism tests, fault injection (frame/detection
+dropping), and the fps ratchet — no MOT16/OTB download required.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SyntheticObject:
+    cx: float
+    cy: float
+    w: float
+    h: float
+    vx: float
+    vy: float
+    appear: int = 0          # first frame the object exists
+    vanish: int = 10 ** 9    # frame the object disappears
+
+
+def make_objects(n: int, height: int, width: int, rng: np.random.Generator,
+                 min_size: int = 16, max_size: int = 40,
+                 max_speed: float = 3.0, lifespan: tuple | None = None
+                 ) -> list[SyntheticObject]:
+    objs = []
+    for _ in range(n):
+        w = float(rng.integers(min_size, max_size))
+        h = float(rng.integers(min_size, max_size))
+        objs.append(SyntheticObject(
+            cx=float(rng.uniform(w, width - w)),
+            cy=float(rng.uniform(h, height - h)),
+            w=w, h=h,
+            vx=float(rng.uniform(-max_speed, max_speed)),
+            vy=float(rng.uniform(-max_speed, max_speed)),
+            appear=0 if lifespan is None else int(rng.integers(*lifespan)),
+        ))
+    return objs
+
+
+def render_sequence(objects: list[SyntheticObject], n_frames: int,
+                    height: int = 240, width: int = 320, seed: int = 0,
+                    noise: float = 0.02):
+    """Render frames and ground truth.
+
+    Returns (frames [N, H, W] float32 in [0,1],
+             boxes  [N, K, 4] (cx, cy, w, h),
+             visible [N, K] bool).
+    """
+    rng = np.random.default_rng(seed)
+    # Smooth background texture: low-frequency noise.
+    bg_small = rng.random((height // 8 + 1, width // 8 + 1))
+    bg = np.kron(bg_small, np.ones((8, 8)))[:height, :width] * 0.4 + 0.2
+    textures = []
+    for o in objects:
+        th, tw = int(round(o.h)), int(round(o.w))
+        tex = rng.random((th, tw)) * 0.6 + 0.4
+        # Strong border so the box edge is a trackable feature.
+        tex[0, :] = tex[-1, :] = tex[:, 0] = tex[:, -1] = 1.0
+        textures.append(tex)
+
+    frames = np.empty((n_frames, height, width), np.float32)
+    boxes = np.zeros((n_frames, len(objects), 4), np.float32)
+    visible = np.zeros((n_frames, len(objects)), bool)
+    state = [(o.cx, o.cy, o.vx, o.vy) for o in objects]
+
+    for f in range(n_frames):
+        img = bg.copy()
+        for k, o in enumerate(objects):
+            cx, cy, vx, vy = state[k]
+            if o.appear <= f < o.vanish:
+                tex = textures[k]
+                th, tw = tex.shape
+                y0 = int(round(cy - th / 2))
+                x0 = int(round(cx - tw / 2))
+                ys = slice(max(y0, 0), min(y0 + th, height))
+                xs = slice(max(x0, 0), min(x0 + tw, width))
+                tys = slice(ys.start - y0, ys.stop - y0)
+                txs = slice(xs.start - x0, xs.stop - x0)
+                if ys.stop > ys.start and xs.stop > xs.start:
+                    img[ys, xs] = tex[tys, txs]
+                boxes[f, k] = (cx, cy, o.w, o.h)
+                visible[f, k] = True
+            # Advance with border bounce.
+            cx += vx
+            cy += vy
+            if cx - o.w / 2 < 0 or cx + o.w / 2 > width:
+                vx = -vx
+                cx += 2 * vx
+            if cy - o.h / 2 < 0 or cy + o.h / 2 > height:
+                vy = -vy
+                cy += 2 * vy
+            state[k] = (cx, cy, vx, vy)
+        if noise > 0:
+            img = img + rng.normal(0, noise, img.shape)
+        frames[f] = np.clip(img, 0.0, 1.0)
+    return frames, boxes, visible
+
+
+def detections_from_gt(boxes: np.ndarray, visible: np.ndarray, seed: int = 0,
+                       jitter: float = 1.0, drop_prob: float = 0.0,
+                       fp_per_frame: float = 0.0, frame_hw=(240, 320)):
+    """Simulate a detector from ground truth: jittered boxes, dropped
+    detections, false positives.  Returns per-frame list of [D_f, 5]
+    arrays (cx, cy, w, h, score) — the fault-injection hook of
+    SURVEY.md §5 ("failure detection")."""
+    rng = np.random.default_rng(seed)
+    n_frames, n_obj = visible.shape
+    out = []
+    for f in range(n_frames):
+        dets = []
+        for k in range(n_obj):
+            if not visible[f, k] or rng.random() < drop_prob:
+                continue
+            cx, cy, w, h = boxes[f, k]
+            dets.append([cx + rng.normal(0, jitter),
+                         cy + rng.normal(0, jitter),
+                         w * (1 + rng.normal(0, 0.02)),
+                         h * (1 + rng.normal(0, 0.02)),
+                         float(rng.uniform(0.5, 1.0))])
+        n_fp = rng.poisson(fp_per_frame)
+        for _ in range(n_fp):
+            dets.append([rng.uniform(20, frame_hw[1] - 20),
+                         rng.uniform(20, frame_hw[0] - 20),
+                         rng.uniform(10, 40), rng.uniform(10, 40),
+                         float(rng.uniform(0.3, 0.6))])
+        out.append(np.asarray(dets, np.float32).reshape(-1, 5))
+    return out

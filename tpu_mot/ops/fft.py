@@ -1,0 +1,134 @@
+"""Batched 2-D real FFT for the KCF core — TPU-native formulations.
+
+The reference's L0 layer is a CPU FFT library call per track per frame
+(SURVEY.md §2 row "fft2d").  On TPU the patch sizes are tiny (64x64,
+BASELINE.json configs[1]) and the batch is the whole live-track bank, so the
+fastest formulation is not an FFT butterfly at all: a 64-point DFT is a
+64x64 matrix, and a batched 2-D DFT is two batched matmuls that map straight
+onto the MXU.  Two interchangeable backends are provided:
+
+  * "matmul" — DFT-by-matrix-multiply in real arithmetic (6 real matmuls per
+    transform), the MXU-native path and the one a Pallas kernel fuses.
+  * "xla"    — jnp.fft.rfft2/irfft2, used as the reference implementation
+    and on CPU where scipy-grade FFTs win.
+
+Both return/accept complex64 half-spectra of shape [..., H, W//2 + 1] so the
+KCF math is backend-agnostic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Module-level default backend; tests exercise both explicitly.
+_DEFAULT_BACKEND = "matmul"
+
+
+def set_default_backend(name: str) -> None:
+    global _DEFAULT_BACKEND
+    if name not in ("matmul", "xla"):
+        raise ValueError(f"unknown fft backend {name!r}")
+    _DEFAULT_BACKEND = name
+
+
+def get_default_backend() -> str:
+    return _DEFAULT_BACKEND
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats(n: int, half: bool):
+    """Forward DFT matrix F[j, k] = exp(-2i*pi*j*k/n), split into (re, im).
+
+    With half=True only the first n//2+1 rows are kept (rfft columns).
+    """
+    j = np.arange(n // 2 + 1 if half else n)[:, None]
+    k = np.arange(n)[None, :]
+    w = np.exp(-2j * np.pi * j * k / n)
+    return (jnp.asarray(w.real, jnp.float32), jnp.asarray(w.imag, jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_mats(n: int, half: bool):
+    """Inverse-DFT basis E[m, j] = exp(+2i*pi*j*m/n), split into (re, im).
+
+    With half=True only the first n//2+1 columns are kept.
+    """
+    m = np.arange(n)[:, None]
+    j = np.arange(n // 2 + 1 if half else n)[None, :]
+    w = np.exp(2j * np.pi * m * j / n)
+    return (jnp.asarray(w.real, jnp.float32), jnp.asarray(w.imag, jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _hermitian_weights(w: int) -> jnp.ndarray:
+    """Column weights folding the conjugate-symmetric half back in: 2 for
+    interior columns, 1 for DC and (even w) Nyquist."""
+    wf = w // 2 + 1
+    wts = np.full((wf,), 2.0, np.float32)
+    wts[0] = 1.0
+    if w % 2 == 0:
+        wts[-1] = 1.0
+    return jnp.asarray(wts)
+
+
+def rfft2_matmul(x: jnp.ndarray) -> jnp.ndarray:
+    """2-D real FFT over the last two axes via MXU matmuls.
+
+    Y = F_H @ X @ F_W^T with F_W truncated to the half spectrum:
+    6 real matmuls, batched over every leading axis.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    ar, ai = _dft_mats(h, half=False)       # [H, H]
+    br, bi = _dft_mats(w, half=True)        # [Wf, W]
+    # P + iQ = X @ B^T  (X real)
+    p = jnp.einsum("...hw,fw->...hf", x, br)
+    q = jnp.einsum("...hw,fw->...hf", x, bi)
+    # (Ar + iAi) @ (P + iQ)
+    yr = jnp.einsum("gh,...hf->...gf", ar, p) - jnp.einsum(
+        "gh,...hf->...gf", ai, q)
+    yi = jnp.einsum("gh,...hf->...gf", ar, q) + jnp.einsum(
+        "gh,...hf->...gf", ai, p)
+    return jax.lax.complex(yr, yi)
+
+
+def irfft2_matmul(yf: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Inverse of rfft2_matmul: real output [..., H, w] from the half
+    spectrum [..., H, w//2+1], using Hermitian column folding.
+
+    x = Re(E_H @ (wts * Y) @ E_W^T) / (H*w); 6 real matmuls.
+    """
+    h = yf.shape[-2]
+    er, ei = _idft_mats(h, half=False)      # [H, H]
+    gr, gi = _idft_mats(w, half=True)       # [w, Wf]
+    wts = _hermitian_weights(w)
+    yr = jnp.real(yf) * wts
+    yi = jnp.imag(yf) * wts
+    # M + iN = E_H @ Yw
+    m = jnp.einsum("mh,...hf->...mf", er, yr) - jnp.einsum(
+        "mh,...hf->...mf", ei, yi)
+    n = jnp.einsum("mh,...hf->...mf", er, yi) + jnp.einsum(
+        "mh,...hf->...mf", ei, yr)
+    # Re((M + iN) @ (Gr + iGi)^T) = M Gr^T - N Gi^T
+    x = jnp.einsum("...mf,nf->...mn", m, gr) - jnp.einsum(
+        "...mf,nf->...mn", n, gi)
+    return x / (h * w)
+
+
+def rfft2(x: jnp.ndarray, backend: str | None = None) -> jnp.ndarray:
+    """Batched 2-D rFFT over the last two axes → complex64 half spectrum."""
+    backend = backend or _DEFAULT_BACKEND
+    if backend == "xla":
+        return jnp.fft.rfft2(x).astype(jnp.complex64)
+    return rfft2_matmul(x)
+
+
+def irfft2(yf: jnp.ndarray, w: int, backend: str | None = None) -> jnp.ndarray:
+    """Batched inverse 2-D rFFT → real [..., H, w]."""
+    backend = backend or _DEFAULT_BACKEND
+    if backend == "xla":
+        return jnp.fft.irfft2(yf, s=(yf.shape[-2], w)).astype(jnp.float32)
+    return irfft2_matmul(yf, w)

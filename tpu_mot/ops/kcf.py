@@ -1,0 +1,165 @@
+"""Batched KCF correlation-filter math (train / detect) in the FFT domain.
+
+TPU-native re-design of the reference's per-track C KCF core (SURVEY.md §1
+layers L0-L1; §3.2 hot loops 1-2): instead of looping tracks and calling a
+CPU FFT per track, every op here carries a leading track-bank axis and lowers
+to batched MXU matmuls / VPU elementwise programs.  Math follows
+arXiv:1404.7584 (KCF):
+
+  * Gaussian kernel correlation   — eq. 31
+  * Dual-space ridge train        — eq. 17:  alpha_f = y_f / (k_f + lambda)
+  * Detection response            — eq. 22:  r = ifft(k_f * alpha_f)
+
+Feature banks are [T, C, S, S] real; spectra [T, C, S, Sf] complex64 with
+Sf = S//2 + 1 (rfft2 half spectrum).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from tpu_mot.ops import fft as fft_ops
+from tpu_mot.ops import window as window_ops
+
+
+class KCFModel(NamedTuple):
+    """Per-track learned state: template spectrum and dual coefficients.
+
+    The reference keeps (template features, alpha) per tracker object; here
+    the whole bank lives in two dense complex arrays so train/detect are one
+    program over all tracks.
+    """
+    xf: jnp.ndarray       # [T, C, S, Sf] complex64 — model template spectrum
+    alphaf: jnp.ndarray   # [T, S, Sf]   complex64 — dual coefficients
+
+
+def _parseval_energy(xf: jnp.ndarray, width: int) -> jnp.ndarray:
+    """sum(|x|^2) over (C, S, S) computed from the half spectrum.
+
+    Parseval with Hermitian column folding: ||x||^2 = sum(w_k |X|^2) / N.
+    Returns [...] (leading batch dims of xf minus the last three)."""
+    wts = fft_ops._hermitian_weights(width)
+    n = xf.shape[-2] * width
+    power = (jnp.real(xf) ** 2 + jnp.imag(xf) ** 2) * wts
+    return jnp.sum(power, axis=(-3, -2, -1)) / n
+
+
+def gaussian_correlation(xf: jnp.ndarray, zf: jnp.ndarray, sigma: float,
+                         width: int, backend: str | None = None
+                         ) -> jnp.ndarray:
+    """Gaussian-kernel correlation k^{xz} for all cyclic shifts, in one shot.
+
+    arXiv:1404.7584 eq. 31:
+      k[tau] = exp(-(||x||^2 + ||z||^2 - 2 x^T z_tau) / (sigma^2 * N))
+    with the cross term for every shift tau obtained by one inverse FFT of
+    sum_c X_c * conj(Z_c).
+
+    xf, zf : [..., C, S, Sf] spectra.  Returns k_f = rfft2(k) [..., S, Sf].
+    """
+    s = xf.shape[-2]
+    c = xf.shape[-3]
+    xx = _parseval_energy(xf, width)                     # [...]
+    zz = _parseval_energy(zf, width)
+    cross_f = jnp.sum(xf * jnp.conj(zf), axis=-3)        # [..., S, Sf]
+    cross = fft_ops.irfft2(cross_f, width, backend)      # [..., S, S]
+    numel = s * width * c
+    d = (xx + zz)[..., None, None] - 2.0 * cross
+    k = jnp.exp(-jnp.maximum(d, 0.0) / (sigma * sigma * numel))
+    return fft_ops.rfft2(k, backend)
+
+
+def train(feat: jnp.ndarray, yf: jnp.ndarray, sigma: float, lambda_: float,
+          backend: str | None = None) -> KCFModel:
+    """One-shot ridge training on a feature bank (eq. 17).
+
+    feat : [T, C, S, S] windowed features.
+    yf   : [S, Sf] spectrum of the desired Gaussian response (shared).
+    Returns the newly-trained KCFModel bank (no EMA blending).
+    """
+    s = feat.shape[-1]
+    xf = fft_ops.rfft2(feat, backend)
+    kf = gaussian_correlation(xf, xf, sigma, s, backend)
+    alphaf = yf / (kf + lambda_)
+    return KCFModel(xf=xf, alphaf=alphaf)
+
+
+def blend(model: KCFModel, new: KCFModel, lr) -> KCFModel:
+    """EMA model update ("interp factor" in the C lineage).
+
+    lr may be a scalar or a per-track [T] array (e.g. 1.0 for fresh slots,
+    interp_factor for matched tracks, 0.0 for unmatched — the bank-wide
+    masked update replacing the reference's per-track branching)."""
+    lr = jnp.asarray(lr, jnp.float32)
+    lr_x = lr.reshape(lr.shape + (1,) * (model.xf.ndim - lr.ndim))
+    lr_a = lr.reshape(lr.shape + (1,) * (model.alphaf.ndim - lr.ndim))
+    return KCFModel(
+        xf=model.xf * (1.0 - lr_x) + new.xf * lr_x,
+        alphaf=model.alphaf * (1.0 - lr_a) + new.alphaf * lr_a,
+    )
+
+
+def detect(model: KCFModel, feat: jnp.ndarray, sigma: float,
+           backend: str | None = None) -> jnp.ndarray:
+    """Correlation response of the model bank on new patches (eq. 22).
+
+    feat : [T, C, S, S] features at the predicted ROIs.
+    Returns response [T, S, S] real.
+    """
+    s = feat.shape[-1]
+    zf = fft_ops.rfft2(feat, backend)
+    kf = gaussian_correlation(zf, model.xf, sigma, s, backend)
+    return fft_ops.irfft2(kf * model.alphaf, s, backend)
+
+
+def peak_displacement(response: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Locate the response peak with sub-pixel refinement.
+
+    The training target's peak sits at the patch center (window.gaussian_peak),
+    so displacement = argmax - center, refined by a 1-D parabola fit on each
+    axis (the reference lineage's subPixelPeak).
+
+    response : [T, S, S] → (dy [T], dx [T], peak [T]) in template pixels.
+    """
+    t, s, _ = response.shape
+    flat = response.reshape(t, s * s)
+    idx = jnp.argmax(flat, axis=1)
+    peak = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    py = idx // s
+    px = idx % s
+
+    def axis_neighbors(p, along_y):
+        lo = jnp.maximum(p - 1, 0)
+        hi = jnp.minimum(p + 1, s - 1)
+        if along_y:
+            left = flat[jnp.arange(t), lo * s + px]
+            right = flat[jnp.arange(t), hi * s + px]
+        else:
+            left = flat[jnp.arange(t), py * s + lo]
+            right = flat[jnp.arange(t), py * s + hi]
+        return left, right
+
+    def subpixel(p, left, right):
+        denom = 2.0 * peak - left - right
+        delta = jnp.where(jnp.abs(denom) > 1e-8,
+                          0.5 * (right - left) / jnp.maximum(denom, 1e-8),
+                          0.0)
+        # Only refine interior peaks; clamp the fit to half a pixel.
+        delta = jnp.clip(delta, -0.5, 0.5)
+        interior = (p > 0) & (p < s - 1)
+        return jnp.where(interior, delta, 0.0)
+
+    ly, ry = axis_neighbors(py, True)
+    lx, rx = axis_neighbors(px, False)
+    dy = py.astype(jnp.float32) + subpixel(py, ly, ry) - (s // 2)
+    dx = px.astype(jnp.float32) + subpixel(px, lx, rx) - (s // 2)
+    return dy, dx, peak
+
+
+def make_yf(size: int, padding: float, output_sigma_factor: float,
+            backend: str | None = None) -> jnp.ndarray:
+    """Spectrum of the shared desired-response Gaussian [S, Sf]."""
+    sigma = window_ops.output_sigma(size, size, padding, output_sigma_factor)
+    y = window_ops.gaussian_peak(size, size, sigma)
+    return fft_ops.rfft2(y, backend)

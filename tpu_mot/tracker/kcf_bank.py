@@ -1,0 +1,140 @@
+"""KCF tracker bank: correlation-only tracking over all live tracks at once.
+
+This is the TPU-native replacement for the reference's per-track
+`kcf_init` / `kcf_update` object loop (SURVEY.md §1 L1, §3.2 hot loops 1-2):
+one jitted program per frame runs patch extraction → features → detect →
+box move → retrain for the whole fixed-capacity bank.  Dead slots ride
+along with lr=0 and clamped boxes (masking discipline, SURVEY.md §7(b)).
+
+Also serves standalone as the single-object OTB harness with T=1
+(BASELINE.json configs[1]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_mot.config import KCFConfig
+from tpu_mot.ops import features as feat_ops
+from tpu_mot.ops import kcf as kcf_ops
+from tpu_mot.ops import patch as patch_ops
+
+
+class KCFBank(NamedTuple):
+    model: kcf_ops.KCFModel   # spectra [T, C, S, Sf] / [T, S, Sf]
+    boxes: jnp.ndarray        # [T, 4] (cx, cy, w, h)
+    alive: jnp.ndarray        # [T] bool
+
+
+def _features_at(frame_gray: jnp.ndarray, boxes: jnp.ndarray,
+                 cfg: KCFConfig, scales: jnp.ndarray | None = None
+                 ) -> jnp.ndarray:
+    patches = patch_ops.extract_patches(frame_gray, boxes, cfg.padding,
+                                        cfg.template_size, scales)
+    return feat_ops.raw_gray_features(patches)
+
+
+def init_bank(frame_gray: jnp.ndarray, boxes: jnp.ndarray,
+              alive: jnp.ndarray, cfg: KCFConfig) -> KCFBank:
+    """Train fresh models on every (alive) slot's box."""
+    feats = _features_at(frame_gray, boxes, cfg)
+    yf = kcf_ops.make_yf(cfg.template_size, cfg.padding,
+                         cfg.output_sigma_factor)
+    model = kcf_ops.train(feats, yf, cfg.kernel_sigma, cfg.lambda_)
+    # Zero dead slots so later blends can't leak garbage.
+    mask = alive.astype(jnp.float32)
+    model = kcf_ops.KCFModel(
+        xf=model.xf * mask[:, None, None, None],
+        alphaf=model.alphaf * mask[:, None, None])
+    return KCFBank(model=model, boxes=boxes, alive=alive)
+
+
+def detect_bank(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Correlation response of every live track at its current box.
+
+    Returns (new_boxes [T, 4], peak [T]).  With cfg.scale_step > 1 a
+    3-level scale pyramid is searched (batched as 3 stacked banks); the
+    best scale re-sizes the box, mirroring the C lineage's scale branch.
+    """
+    s = cfg.template_size
+
+    def one_scale(scale: float):
+        scales = jnp.full((bank.boxes.shape[0],), scale, jnp.float32)
+        feats = _features_at(frame_gray, bank.boxes, cfg, scales)
+        resp = kcf_ops.detect(bank.model, feats, cfg.kernel_sigma)
+        return kcf_ops.peak_displacement(resp)
+
+    if cfg.scale_step == 1.0:
+        dy, dx, peak = one_scale(1.0)
+        best_scale = jnp.ones_like(peak)
+    else:
+        step = cfg.scale_step
+        results = [one_scale(sc) for sc in (1.0 / step, 1.0, step)]
+        dys = jnp.stack([r[0] for r in results])       # [3, T]
+        dxs = jnp.stack([r[1] for r in results])
+        peaks = jnp.stack([r[2] for r in results])
+        w = jnp.asarray([cfg.scale_weight, 1.0, cfg.scale_weight],
+                        jnp.float32)[:, None]
+        best = jnp.argmax(peaks * w, axis=0)           # [T]
+        take = lambda a: jnp.take_along_axis(a, best[None], axis=0)[0]
+        dy, dx, peak = take(dys), take(dxs), take(peaks)
+        scale_vals = jnp.asarray([1.0 / step, 1.0, step], jnp.float32)
+        best_scale = scale_vals[best]
+
+    cx, cy, w, h = (bank.boxes[:, 0], bank.boxes[:, 1],
+                    bank.boxes[:, 2], bank.boxes[:, 3])
+    w = w * best_scale
+    h = h * best_scale
+    # Displacement is in template pixels of the (scaled) search window.
+    cx = cx + dx * w * cfg.padding / s
+    cy = cy + dy * h * cfg.padding / s
+    new_boxes = jnp.stack([cx, cy, w, h], axis=1)
+    new_boxes = jnp.where(bank.alive[:, None], new_boxes, bank.boxes)
+    return new_boxes, peak
+
+
+def train_bank(bank: KCFBank, frame_gray: jnp.ndarray, boxes: jnp.ndarray,
+               lr: jnp.ndarray, cfg: KCFConfig) -> KCFBank:
+    """EMA-retrain each slot at its (new) box with per-track lr [T]."""
+    feats = _features_at(frame_gray, boxes, cfg)
+    yf = kcf_ops.make_yf(cfg.template_size, cfg.padding,
+                         cfg.output_sigma_factor)
+    new = kcf_ops.train(feats, yf, cfg.kernel_sigma, cfg.lambda_)
+    model = kcf_ops.blend(bank.model, new, lr)
+    return KCFBank(model=model, boxes=boxes, alive=bank.alive)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig
+         ) -> tuple[KCFBank, jnp.ndarray]:
+    """One correlation-tracking frame for the whole bank:
+    detect → move boxes → retrain (lr = interp_factor on live slots)."""
+    new_boxes, peak = detect_bank(bank, frame_gray, cfg)
+    lr = jnp.where(bank.alive, cfg.interp_factor, 0.0)
+    new_bank = train_bank(bank, frame_gray, new_boxes, lr, cfg)
+    return new_bank, peak
+
+
+class KCFTracker:
+    """Single-object convenience wrapper — the reference's `kcf_init` /
+    `kcf_update` API (SURVEY.md §3.3, OTB harness)."""
+
+    def __init__(self, cfg: KCFConfig | None = None):
+        self.cfg = cfg or KCFConfig()
+        self.bank: KCFBank | None = None
+
+    def init(self, frame, box) -> None:
+        gray = patch_ops.to_gray(jnp.asarray(frame))
+        boxes = jnp.asarray(box, jnp.float32)[None]
+        self.bank = init_bank(gray, boxes, jnp.ones((1,), bool), self.cfg)
+
+    def update(self, frame):
+        gray = patch_ops.to_gray(jnp.asarray(frame))
+        self.bank, peak = step(self.bank, gray, self.cfg)
+        import numpy as np
+        return np.asarray(self.bank.boxes[0]), float(peak[0])
