@@ -1,0 +1,84 @@
+"""Vmapped constant-velocity Kalman filter over the track state bank.
+
+TPU-native replacement of the reference's per-track hand-rolled small-matrix
+KF (SURVEY.md §2 row "kalman"): the whole bank's predict/correct is two
+batched einsum programs over [T, 8] means and [T, 8, 8] covariances — the
+"vmapped small-matrix ops over the track state bank" named by the
+BASELINE.json north star.
+
+State: [cx, cy, w, h, vcx, vcy, vw, vh]; measurement: [cx, cy, w, h].
+Noise scales follow the SORT/DeepSORT lineage: stds proportional to box
+size, so large targets tolerate proportionally larger residuals.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_mot.config import KalmanConfig
+
+_DIM = 8
+_F = np.eye(_DIM, dtype=np.float32)
+_F[:4, 4:] = np.eye(4, dtype=np.float32)       # x += v * dt (dt = 1 frame)
+_H = np.eye(4, _DIM, dtype=np.float32)
+
+
+def init(boxes: jnp.ndarray, cfg: KalmanConfig
+         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Initialize bank state from measured boxes [T, 4].
+
+    Returns (mean [T, 8], cov [T, 8, 8]). Velocity prior is wide
+    (uninformative) — matches the SORT lineage's fresh-track covariance."""
+    t = boxes.shape[0]
+    mean = jnp.concatenate([boxes, jnp.zeros((t, 4), jnp.float32)], axis=1)
+    scale = jnp.maximum(jnp.maximum(boxes[:, 2], boxes[:, 3]), 1.0)
+    pos_var = (2.0 * cfg.pos_std_factor * scale) ** 2            # [T]
+    diag = jnp.concatenate([
+        jnp.tile(pos_var[:, None], (1, 4)),
+        jnp.full((t, 4), cfg.init_vel_cov, jnp.float32)], axis=1)
+    cov = jnp.eye(_DIM, dtype=jnp.float32)[None] * diag[:, None, :]
+    return mean, cov
+
+
+def predict(mean: jnp.ndarray, cov: jnp.ndarray, cfg: KalmanConfig
+            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """x' = F x ; P' = F P F^T + Q(scale). Batched over the bank."""
+    f = jnp.asarray(_F)
+    scale = jnp.maximum(jnp.maximum(mean[:, 2], mean[:, 3]), 1.0)
+    q_pos = (cfg.process_pos_std * scale) ** 2
+    q_vel = (cfg.process_vel_std * scale) ** 2
+    q_diag = jnp.concatenate([jnp.tile(q_pos[:, None], (1, 4)),
+                              jnp.tile(q_vel[:, None], (1, 4))], axis=1)
+    new_mean = jnp.einsum("ij,tj->ti", f, mean)
+    new_cov = (jnp.einsum("ij,tjk,lk->til", f, cov, f)
+               + jnp.eye(_DIM, dtype=jnp.float32)[None] * q_diag[:, None, :])
+    return new_mean, new_cov
+
+
+def correct(mean: jnp.ndarray, cov: jnp.ndarray, z: jnp.ndarray,
+            gate: jnp.ndarray, cfg: KalmanConfig
+            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Measurement update with per-track gate mask [T] (False = no-op slot).
+
+    The gate replaces the reference's per-track 'if matched' branch: the
+    whole bank runs one batched update and unmatched slots keep their
+    predicted state — compiler-friendly control flow."""
+    h = jnp.asarray(_H)
+    scale = jnp.maximum(jnp.maximum(mean[:, 2], mean[:, 3]), 1.0)
+    r_diag = ((cfg.pos_std_factor * scale) ** 2)[:, None] * jnp.ones(
+        (1, 4), jnp.float32)                                       # [T, 4]
+    s = (jnp.einsum("ij,tjk,lk->til", h, cov, h)
+         + jnp.eye(4, dtype=jnp.float32)[None] * r_diag[:, None, :])
+    pht = jnp.einsum("tjk,ik->tji", cov, h)                        # [T, 8, 4]
+    # K = P H^T S^-1  via batched solve of S^T K^T = (P H^T)^T.
+    k = jnp.linalg.solve(
+        jnp.swapaxes(s, 1, 2), jnp.swapaxes(pht, 1, 2))            # [T,4,8]
+    k = jnp.swapaxes(k, 1, 2)                                      # [T,8,4]
+    resid = z - jnp.einsum("ij,tj->ti", h, mean)                   # [T, 4]
+    new_mean = mean + jnp.einsum("tij,tj->ti", k, resid)
+    kh = jnp.einsum("tij,jk->tik", k, h)                           # [T,8,8]
+    new_cov = jnp.einsum("tij,tjk->tik", jnp.eye(_DIM)[None] - kh, cov)
+    g = gate[:, None]
+    return (jnp.where(g, new_mean, mean),
+            jnp.where(g[:, :, None], new_cov, cov))
