@@ -169,6 +169,70 @@ class KalmanOracle:
 
 
 # ----------------------------------------------------------------------
+# SORT-style MOT oracle (Kalman + Hungarian, IoU only, no KCF)
+# ----------------------------------------------------------------------
+
+class SORTOracle:
+    """Mirror of the tracker step with use_kcf=False: per-frame predict →
+    IoU-gated Hungarian → correct → lifecycle, in plain NumPy/SciPy."""
+
+    def __init__(self, iou_gate=0.3, n_init=3, max_age=30,
+                 max_age_tentative=1):
+        self.iou_gate = iou_gate
+        self.n_init = n_init
+        self.max_age = max_age
+        self.max_age_tentative = max_age_tentative
+        self.tracks = []          # dicts: kf, id, hits, tsu, state
+        self.next_id = 0
+
+    def _assoc(self, pred_boxes, dets):
+        from scipy.optimize import linear_sum_assignment
+        if not len(pred_boxes) or not len(dets):
+            return {}, set(range(len(dets)))
+        iou = np.zeros((len(pred_boxes), len(dets)))
+        for i, p in enumerate(pred_boxes):
+            for j, d in enumerate(dets):
+                iou[i, j] = iou_xywh(p, d[:4])
+        cost = np.where(iou >= self.iou_gate, 1.0 - iou, 1e4)
+        ri, ci = linear_sum_assignment(cost)
+        matches = {}
+        for r, c in zip(ri, ci):
+            if cost[r, c] < 1e3:
+                matches[r] = c
+        unmatched = set(range(len(dets))) - set(matches.values())
+        return matches, unmatched
+
+    def step(self, dets):
+        """dets: [D, 5] (cx, cy, w, h, score) → [(id, box)] confirmed."""
+        dets = np.asarray(dets, np.float64).reshape(-1, 5)
+        pred = [t["kf"].predict() for t in self.tracks]
+        matches, unmatched_dets = self._assoc(pred, dets)
+        survivors = []
+        for i, t in enumerate(self.tracks):
+            if i in matches:
+                t["kf"].correct(dets[matches[i], :4])
+                t["hits"] += 1
+                t["tsu"] = 0
+                if t["state"] == 1 and t["hits"] >= self.n_init:
+                    t["state"] = 2
+                survivors.append(t)
+            else:
+                t["tsu"] += 1
+                if t["state"] == 2 and t["tsu"] <= self.max_age:
+                    survivors.append(t)
+                elif t["state"] == 1 and t["tsu"] <= self.max_age_tentative:
+                    survivors.append(t)
+        self.tracks = survivors
+        for j in sorted(unmatched_dets):
+            self.tracks.append({
+                "kf": KalmanOracle(dets[j, :4]), "id": self.next_id,
+                "hits": 1, "tsu": 0, "state": 1})
+            self.next_id += 1
+        return [(t["id"], t["kf"].x[:4].copy()) for t in self.tracks
+                if t["state"] == 2]
+
+
+# ----------------------------------------------------------------------
 # IoU oracle
 # ----------------------------------------------------------------------
 

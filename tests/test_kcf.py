@@ -42,7 +42,8 @@ def test_train_matches_oracle_alphaf(backend):
     for t in range(2):
         k = oracles.gaussian_correlation(x[t], x[t], 0.2)
         want_full = oracle.yf / (np.fft.fft2(k) + 1e-4)
-        got = np.asarray(model.alphaf[t])
+        got = (np.asarray(model.alphaf.re[t])
+               + 1j * np.asarray(model.alphaf.im[t]))
         np.testing.assert_allclose(got, want_full[:, :33], rtol=1e-2,
                                    atol=1e-3)
 
@@ -123,12 +124,12 @@ def test_blend_per_track_lr():
     m1 = kcf_ops.train(jnp.asarray(z), yf, 0.2, 1e-4)
     lr = jnp.asarray([0.0, 0.5, 1.0])
     out = kcf_ops.blend(m0, m1, lr)
-    np.testing.assert_allclose(np.asarray(out.xf[0]), np.asarray(m0.xf[0]),
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out.xf[2]), np.asarray(m1.xf[2]),
-                               atol=1e-6)
-    mid = 0.5 * (np.asarray(m0.alphaf[1]) + np.asarray(m1.alphaf[1]))
-    np.testing.assert_allclose(np.asarray(out.alphaf[1]), mid, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.xf.re[0]),
+                               np.asarray(m0.xf.re[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.xf.im[2]),
+                               np.asarray(m1.xf.im[2]), atol=1e-6)
+    mid = 0.5 * (np.asarray(m0.alphaf.re[1]) + np.asarray(m1.alphaf.re[1]))
+    np.testing.assert_allclose(np.asarray(out.alphaf.re[1]), mid, atol=1e-5)
 
 
 def test_patch_extraction_matches_oracle():

@@ -1,0 +1,157 @@
+"""MOT integration tests (SURVEY.md §4.3/4.5): the fused step vs the
+NumPy SORT oracle, KCF coasting through detector dropouts, determinism,
+checkpoint/resume, and capacity overflow."""
+
+import numpy as np
+import jax
+
+from tpu_mot.config import TrackerConfig
+from tpu_mot.data import synthetic
+from tpu_mot.tracker.api import MultiTracker
+from tpu_mot.utils import metrics
+
+import oracles
+
+
+def _make_scene(n_obj=12, n_frames=40, seed=0, hw=(240, 320), **det_kw):
+    rng = np.random.default_rng(seed)
+    objs = synthetic.make_objects(n_obj, hw[0], hw[1], rng, max_speed=2.0)
+    frames, boxes, vis = synthetic.render_sequence(
+        objs, n_frames, hw[0], hw[1], seed=seed)
+    dets = synthetic.detections_from_gt(boxes, vis, seed=seed,
+                                        frame_hw=hw, **det_kw)
+    gt_frames = []
+    for f in range(n_frames):
+        idx = np.where(vis[f])[0]
+        gt_frames.append((idx, boxes[f, idx]))
+    return frames, dets, gt_frames
+
+
+def _run_ours(frames, dets, cfg):
+    mt = MultiTracker(cfg)
+    hyp = []
+    for f, frame in enumerate(frames):
+        if f == 0:
+            tracks = mt.init(frame, dets[f])
+        else:
+            tracks = mt.update(frame, dets[f])
+        hyp.append((np.array([t[0] for t in tracks]),
+                    np.array([t[1] for t in tracks]).reshape(-1, 4)))
+    return hyp, mt
+
+
+def _run_oracle(dets, cfg):
+    so = oracles.SORTOracle(iou_gate=cfg.iou_gate, n_init=cfg.n_init,
+                            max_age=cfg.max_age,
+                            max_age_tentative=cfg.max_age_tentative)
+    hyp = []
+    for d in dets:
+        tracks = so.step(d)
+        hyp.append((np.array([t[0] for t in tracks]),
+                    np.array([t[1] for t in tracks]).reshape(-1, 4)))
+    return hyp
+
+
+def test_sort_mode_matches_oracle_mota():
+    """Kalman+auction IoU-only tracker vs NumPy SORT oracle — the
+    detector-free config (BASELINE configs[0]); MOTA delta <= 0.01."""
+    frames, dets, gt = _make_scene()
+    cfg = TrackerConfig(use_kcf=False, frame_height=240, frame_width=320)
+    hyp_ours, _ = _run_ours(frames, dets, cfg)
+    hyp_oracle = _run_oracle(dets, cfg)
+    m_ours = metrics.clear_mot(gt, hyp_ours)
+    m_oracle = metrics.clear_mot(gt, hyp_oracle)
+    assert m_oracle["mota"] > 0.75, m_oracle     # sanity on the oracle
+    assert abs(m_ours["mota"] - m_oracle["mota"]) <= 0.01, (
+        m_ours["mota"], m_oracle["mota"])
+    assert m_ours["idsw"] <= m_oracle["idsw"] + 2
+
+
+def test_full_pipeline_tracks_well():
+    frames, dets, gt = _make_scene()
+    cfg = TrackerConfig(frame_height=240, frame_width=320)
+    hyp, mt = _run_ours(frames, dets, cfg)
+    m = metrics.clear_mot(gt, hyp)
+    assert m["mota"] > 0.75, m
+    assert m["idf1"] > 0.7, m
+    c = mt.counters()
+    assert c["alive"] >= 10
+
+
+def test_kcf_coasts_through_detector_outage():
+    """Detector outage across direction changes: constant-velocity
+    coasting (SORT) diverges after the objects bounce, while the KCF
+    correlation pseudo-measurements keep following them — the reason the
+    reference pairs KCF with the Kalman/Hungarian layer."""
+    rng = np.random.default_rng(7)
+    objs = [
+        synthetic.SyntheticObject(cx=40, cy=60, w=26, h=26, vx=-4.0, vy=1.0),
+        synthetic.SyntheticObject(cx=280, cy=180, w=28, h=24, vx=4.0, vy=-1.0),
+        synthetic.SyntheticObject(cx=160, cy=30, w=24, h=28, vx=1.0, vy=-4.0),
+    ]
+    n_frames = 45
+    frames, boxes, vis = synthetic.render_sequence(
+        objs, n_frames, 240, 320, seed=7)
+    dets = synthetic.detections_from_gt(boxes, vis, seed=7,
+                                        frame_hw=(240, 320))
+    for f in range(12, 32):                      # detector outage window
+        dets[f] = np.zeros((0, 5), np.float32)
+    gt = [(np.where(vis[f])[0], boxes[f, np.where(vis[f])[0]])
+          for f in range(n_frames)]
+
+    kw = dict(frame_height=240, frame_width=320, n_init=2)
+    cfg_kcf = TrackerConfig(use_kcf=True, min_psr=0.15, **kw)
+    cfg_sort = TrackerConfig(use_kcf=False, **kw)
+    m_kcf = metrics.clear_mot(gt, _run_ours(frames, dets, cfg_kcf)[0])
+    m_sort = metrics.clear_mot(gt, _run_ours(frames, dets, cfg_sort)[0])
+    assert m_kcf["mota"] > m_sort["mota"] + 0.1, (
+        m_kcf["mota"], m_sort["mota"])
+    assert m_kcf["idsw"] <= m_sort["idsw"], (m_kcf, m_sort)
+
+
+def test_golden_determinism():
+    """Same inputs twice → bit-identical outputs (SURVEY.md §4.5)."""
+    frames, dets, _ = _make_scene(n_obj=5, n_frames=10, seed=4)
+    cfg = TrackerConfig(frame_height=240, frame_width=320)
+    out1, mt1 = _run_ours(frames, dets, cfg)
+    out2, mt2 = _run_ours(frames, dets, cfg)
+    for (i1, b1), (i2, b2) in zip(out1, out2):
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(b1, b2)
+    for a, b in zip(jax.tree.leaves(mt1.bank), jax.tree.leaves(mt2.bank)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume():
+    """Snapshot mid-sequence and resume — must equal the uninterrupted
+    run exactly (tracker state is one pytree; SURVEY.md §5)."""
+    frames, dets, _ = _make_scene(n_obj=5, n_frames=12, seed=5)
+    cfg = TrackerConfig(frame_height=240, frame_width=320)
+
+    mt = MultiTracker(cfg)
+    ref_out = [mt.init(frames[0], dets[0])]
+    snap = None
+    for f in range(1, 12):
+        if f == 6:
+            snap = mt.save_state()
+        ref_out.append(mt.update(frames[f], dets[f]))
+
+    mt2 = MultiTracker(cfg)
+    mt2.load_state(snap)
+    for f in range(6, 12):
+        got = mt2.update(frames[f], dets[f])
+        assert got == ref_out[f], f
+
+
+def test_capacity_overflow_is_graceful():
+    """More detections than slots: no crash, no duplicate IDs."""
+    frames, dets, _ = _make_scene(n_obj=6, n_frames=6, seed=6)
+    cfg = TrackerConfig(max_tracks=4, max_detections=8, n_init=1,
+                        frame_height=240, frame_width=320)
+    mt = MultiTracker(cfg)
+    mt.init(frames[0], dets[0])
+    for f in range(1, 6):
+        tracks = mt.update(frames[f], dets[f])
+        ids = [t[0] for t in tracks]
+        assert len(ids) == len(set(ids))
+        assert len(ids) <= 4

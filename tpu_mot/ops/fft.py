@@ -7,22 +7,24 @@ fastest formulation is not an FFT butterfly at all: a 64-point DFT is a
 64x64 matrix, and a batched 2-D DFT is two batched matmuls that map straight
 onto the MXU.  Two interchangeable backends are provided:
 
-  * "matmul" — DFT-by-matrix-multiply in real arithmetic (6 real matmuls per
-    transform), the MXU-native path and the one a Pallas kernel fuses.
-  * "xla"    — jnp.fft.rfft2/irfft2, used as the reference implementation
-    and on CPU where scipy-grade FFTs win.
+  * "matmul" — DFT-by-matrix-multiply in pure real arithmetic (6 real
+    matmuls per transform), the MXU-native path and the one a Pallas kernel
+    fuses.  No complex dtype anywhere (see ops/cfloat.py for why).
+  * "xla"    — jnp.fft.rfft2/irfft2 (complex internally, split at the
+    boundary), used as a cross-check backend in the CPU test tier.
 
-Both return/accept complex64 half-spectra of shape [..., H, W//2 + 1] so the
-KCF math is backend-agnostic.
+Both return/accept split-complex CF half-spectra of shape
+[..., H, W//2 + 1] so the KCF math is backend-agnostic.
 """
 
 from __future__ import annotations
 
 import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
+
+from tpu_mot.ops.cfloat import CF
 
 # Module-level default backend; tests exercise both explicitly.
 _DEFAULT_BACKEND = "matmul"
@@ -48,7 +50,7 @@ def _dft_mats(n: int, half: bool):
     j = np.arange(n // 2 + 1 if half else n)[:, None]
     k = np.arange(n)[None, :]
     w = np.exp(-2j * np.pi * j * k / n)
-    return (jnp.asarray(w.real, jnp.float32), jnp.asarray(w.imag, jnp.float32))
+    return (w.real.astype(np.float32), w.imag.astype(np.float32))
 
 
 @functools.lru_cache(maxsize=None)
@@ -60,11 +62,11 @@ def _idft_mats(n: int, half: bool):
     m = np.arange(n)[:, None]
     j = np.arange(n // 2 + 1 if half else n)[None, :]
     w = np.exp(2j * np.pi * m * j / n)
-    return (jnp.asarray(w.real, jnp.float32), jnp.asarray(w.imag, jnp.float32))
+    return (w.real.astype(np.float32), w.imag.astype(np.float32))
 
 
 @functools.lru_cache(maxsize=None)
-def _hermitian_weights(w: int) -> jnp.ndarray:
+def _hermitian_weights(w: int):
     """Column weights folding the conjugate-symmetric half back in: 2 for
     interior columns, 1 for DC and (even w) Nyquist."""
     wf = w // 2 + 1
@@ -72,10 +74,10 @@ def _hermitian_weights(w: int) -> jnp.ndarray:
     wts[0] = 1.0
     if w % 2 == 0:
         wts[-1] = 1.0
-    return jnp.asarray(wts)
+    return wts
 
 
-def rfft2_matmul(x: jnp.ndarray) -> jnp.ndarray:
+def rfft2_matmul(x: jnp.ndarray) -> CF:
     """2-D real FFT over the last two axes via MXU matmuls.
 
     Y = F_H @ X @ F_W^T with F_W truncated to the half spectrum:
@@ -92,21 +94,21 @@ def rfft2_matmul(x: jnp.ndarray) -> jnp.ndarray:
         "gh,...hf->...gf", ai, q)
     yi = jnp.einsum("gh,...hf->...gf", ar, q) + jnp.einsum(
         "gh,...hf->...gf", ai, p)
-    return jax.lax.complex(yr, yi)
+    return CF(yr, yi)
 
 
-def irfft2_matmul(yf: jnp.ndarray, w: int) -> jnp.ndarray:
+def irfft2_matmul(yf: CF, w: int) -> jnp.ndarray:
     """Inverse of rfft2_matmul: real output [..., H, w] from the half
     spectrum [..., H, w//2+1], using Hermitian column folding.
 
     x = Re(E_H @ (wts * Y) @ E_W^T) / (H*w); 6 real matmuls.
     """
-    h = yf.shape[-2]
+    h = yf.re.shape[-2]
     er, ei = _idft_mats(h, half=False)      # [H, H]
     gr, gi = _idft_mats(w, half=True)       # [w, Wf]
     wts = _hermitian_weights(w)
-    yr = jnp.real(yf) * wts
-    yi = jnp.imag(yf) * wts
+    yr = yf.re * wts
+    yi = yf.im * wts
     # M + iN = E_H @ Yw
     m = jnp.einsum("mh,...hf->...mf", er, yr) - jnp.einsum(
         "mh,...hf->...mf", ei, yi)
@@ -118,17 +120,21 @@ def irfft2_matmul(yf: jnp.ndarray, w: int) -> jnp.ndarray:
     return x / (h * w)
 
 
-def rfft2(x: jnp.ndarray, backend: str | None = None) -> jnp.ndarray:
-    """Batched 2-D rFFT over the last two axes → complex64 half spectrum."""
+def rfft2(x: jnp.ndarray, backend: str | None = None) -> CF:
+    """Batched 2-D rFFT over the last two axes → CF half spectrum."""
     backend = backend or _DEFAULT_BACKEND
     if backend == "xla":
-        return jnp.fft.rfft2(x).astype(jnp.complex64)
+        yf = jnp.fft.rfft2(x)
+        return CF(jnp.real(yf).astype(jnp.float32),
+                  jnp.imag(yf).astype(jnp.float32))
     return rfft2_matmul(x)
 
 
-def irfft2(yf: jnp.ndarray, w: int, backend: str | None = None) -> jnp.ndarray:
+def irfft2(yf: CF, w: int, backend: str | None = None) -> jnp.ndarray:
     """Batched inverse 2-D rFFT → real [..., H, w]."""
     backend = backend or _DEFAULT_BACKEND
     if backend == "xla":
-        return jnp.fft.irfft2(yf, s=(yf.shape[-2], w)).astype(jnp.float32)
+        import jax
+        z = jax.lax.complex(yf.re, yf.im)
+        return jnp.fft.irfft2(z, s=(yf.re.shape[-2], w)).astype(jnp.float32)
     return irfft2_matmul(yf, w)

@@ -3,14 +3,15 @@
 TPU-native re-design of the reference's per-track C KCF core (SURVEY.md §1
 layers L0-L1; §3.2 hot loops 1-2): instead of looping tracks and calling a
 CPU FFT per track, every op here carries a leading track-bank axis and lowers
-to batched MXU matmuls / VPU elementwise programs.  Math follows
+to batched MXU matmuls / VPU elementwise programs.  Spectra are split-
+complex CF pairs (ops/cfloat.py) — no complex dtype anywhere.  Math follows
 arXiv:1404.7584 (KCF):
 
   * Gaussian kernel correlation   — eq. 31
   * Dual-space ridge train        — eq. 17:  alpha_f = y_f / (k_f + lambda)
   * Detection response            — eq. 22:  r = ifft(k_f * alpha_f)
 
-Feature banks are [T, C, S, S] real; spectra [T, C, S, Sf] complex64 with
+Feature banks are [T, C, S, S] real; spectra [T, C, S, Sf] with
 Sf = S//2 + 1 (rfft2 half spectrum).
 """
 
@@ -20,35 +21,36 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from tpu_mot.ops import cfloat
 from tpu_mot.ops import fft as fft_ops
 from tpu_mot.ops import window as window_ops
+from tpu_mot.ops.cfloat import CF
 
 
 class KCFModel(NamedTuple):
     """Per-track learned state: template spectrum and dual coefficients.
 
     The reference keeps (template features, alpha) per tracker object; here
-    the whole bank lives in two dense complex arrays so train/detect are one
-    program over all tracks.
+    the whole bank lives in dense arrays so train/detect are one program
+    over all tracks.
     """
-    xf: jnp.ndarray       # [T, C, S, Sf] complex64 — model template spectrum
-    alphaf: jnp.ndarray   # [T, S, Sf]   complex64 — dual coefficients
+    xf: CF        # [T, C, S, Sf] — model template spectrum
+    alphaf: CF    # [T, S, Sf]   — dual coefficients
 
 
-def _parseval_energy(xf: jnp.ndarray, width: int) -> jnp.ndarray:
+def _parseval_energy(xf: CF, width: int) -> jnp.ndarray:
     """sum(|x|^2) over (C, S, S) computed from the half spectrum.
 
     Parseval with Hermitian column folding: ||x||^2 = sum(w_k |X|^2) / N.
     Returns [...] (leading batch dims of xf minus the last three)."""
     wts = fft_ops._hermitian_weights(width)
-    n = xf.shape[-2] * width
-    power = (jnp.real(xf) ** 2 + jnp.imag(xf) ** 2) * wts
+    n = xf.re.shape[-2] * width
+    power = cfloat.abs2(xf) * wts
     return jnp.sum(power, axis=(-3, -2, -1)) / n
 
 
-def gaussian_correlation(xf: jnp.ndarray, zf: jnp.ndarray, sigma: float,
-                         width: int, backend: str | None = None
-                         ) -> jnp.ndarray:
+def gaussian_correlation(xf: CF, zf: CF, sigma: float, width: int,
+                         backend: str | None = None) -> CF:
     """Gaussian-kernel correlation k^{xz} for all cyclic shifts, in one shot.
 
     arXiv:1404.7584 eq. 31:
@@ -58,11 +60,11 @@ def gaussian_correlation(xf: jnp.ndarray, zf: jnp.ndarray, sigma: float,
 
     xf, zf : [..., C, S, Sf] spectra.  Returns k_f = rfft2(k) [..., S, Sf].
     """
-    s = xf.shape[-2]
-    c = xf.shape[-3]
+    s = xf.re.shape[-2]
+    c = xf.re.shape[-3]
     xx = _parseval_energy(xf, width)                     # [...]
     zz = _parseval_energy(zf, width)
-    cross_f = jnp.sum(xf * jnp.conj(zf), axis=-3)        # [..., S, Sf]
+    cross_f = cfloat.sum_axis(cfloat.mul_conj(xf, zf), axis=-3)
     cross = fft_ops.irfft2(cross_f, width, backend)      # [..., S, S]
     numel = s * width * c
     d = (xx + zz)[..., None, None] - 2.0 * cross
@@ -70,7 +72,7 @@ def gaussian_correlation(xf: jnp.ndarray, zf: jnp.ndarray, sigma: float,
     return fft_ops.rfft2(k, backend)
 
 
-def train(feat: jnp.ndarray, yf: jnp.ndarray, sigma: float, lambda_: float,
+def train(feat: jnp.ndarray, yf: CF, sigma: float, lambda_: float,
           backend: str | None = None) -> KCFModel:
     """One-shot ridge training on a feature bank (eq. 17).
 
@@ -81,7 +83,7 @@ def train(feat: jnp.ndarray, yf: jnp.ndarray, sigma: float, lambda_: float,
     s = feat.shape[-1]
     xf = fft_ops.rfft2(feat, backend)
     kf = gaussian_correlation(xf, xf, sigma, s, backend)
-    alphaf = yf / (kf + lambda_)
+    alphaf = cfloat.div_real_shifted(yf, kf, lambda_)
     return KCFModel(xf=xf, alphaf=alphaf)
 
 
@@ -92,11 +94,11 @@ def blend(model: KCFModel, new: KCFModel, lr) -> KCFModel:
     interp_factor for matched tracks, 0.0 for unmatched — the bank-wide
     masked update replacing the reference's per-track branching)."""
     lr = jnp.asarray(lr, jnp.float32)
-    lr_x = lr.reshape(lr.shape + (1,) * (model.xf.ndim - lr.ndim))
-    lr_a = lr.reshape(lr.shape + (1,) * (model.alphaf.ndim - lr.ndim))
+    lr_x = lr.reshape(lr.shape + (1,) * (model.xf.re.ndim - lr.ndim))
+    lr_a = lr.reshape(lr.shape + (1,) * (model.alphaf.re.ndim - lr.ndim))
     return KCFModel(
-        xf=model.xf * (1.0 - lr_x) + new.xf * lr_x,
-        alphaf=model.alphaf * (1.0 - lr_a) + new.alphaf * lr_a,
+        xf=cfloat.lerp(model.xf, new.xf, lr_x),
+        alphaf=cfloat.lerp(model.alphaf, new.alphaf, lr_a),
     )
 
 
@@ -158,8 +160,8 @@ def peak_displacement(response: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
 
 
 def make_yf(size: int, padding: float, output_sigma_factor: float,
-            backend: str | None = None) -> jnp.ndarray:
+            backend: str | None = None) -> CF:
     """Spectrum of the shared desired-response Gaussian [S, Sf]."""
     sigma = window_ops.output_sigma(size, size, padding, output_sigma_factor)
     y = window_ops.gaussian_peak(size, size, sigma)
-    return fft_ops.rfft2(y, backend)
+    return fft_ops.rfft2(jnp.asarray(y), backend)

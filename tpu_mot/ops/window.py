@@ -16,14 +16,14 @@ import numpy as np
 
 @functools.lru_cache(maxsize=None)
 def hann2d(height: int, width: int) -> jnp.ndarray:
-    """2-D Hann (cosine) window, outer product of two 1-D Hann windows.
+    """2-D Hann (cosine) window (NumPy constant; folded in at trace time).
 
     Applied to features before the FFT to suppress boundary discontinuities
     of the circulant model (arXiv:1404.7584 §4.1, "cosine window").
     """
     hy = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(height) / (height - 1)))
     hx = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(width) / (width - 1)))
-    return jnp.asarray(np.outer(hy, hx), dtype=jnp.float32)
+    return np.outer(hy, hx).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -38,7 +38,7 @@ def gaussian_peak(height: int, width: int, sigma: float) -> jnp.ndarray:
     yy = (np.arange(height) - cy) ** 2
     xx = (np.arange(width) - cx) ** 2
     g = np.exp(-0.5 * (yy[:, None] + xx[None, :]) / (sigma * sigma))
-    return jnp.asarray(g, dtype=jnp.float32)
+    return g.astype(np.float32)
 
 
 def output_sigma(height: int, width: int, padding: float,

@@ -1,0 +1,102 @@
+"""Public MOT API — the reference's `mot_init` / `mot_update` surface.
+
+The reference exposes init/update per frame, returning track IDs + boxes
+(BASELINE.json north star).  `MultiTracker` is that same surface as a thin
+host wrapper: it pads detections to the static capacity, invokes the single
+fused device step, and unpacks confirmed tracks.  All tracking state lives
+in a device-resident TrackBank pytree — snapshot/restore is `save_state` /
+`load_state` (a capability the reference lacks; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_mot.config import DEFAULT_CONFIG, TrackerConfig
+from tpu_mot.tracker import step as step_mod
+from tpu_mot.tracker.bank import TrackBank, empty_bank
+
+
+def pad_detections(dets, capacity: int):
+    """[N, 4|5] array-like → ([capacity, 5], [capacity] valid mask)."""
+    dets = np.asarray(dets, np.float32)
+    if dets.size == 0:
+        dets = dets.reshape(0, 5)
+    n = min(len(dets), capacity)
+    out = np.zeros((capacity, 5), np.float32)
+    if dets.shape[-1] == 4:
+        out[:n, :4] = dets[:n]
+        out[:n, 4] = 1.0
+    else:
+        out[:n] = dets[:n, :5]
+    valid = np.zeros((capacity,), bool)
+    valid[:n] = True
+    return out, valid
+
+
+class MultiTracker:
+    """Detect-track MOT pipeline behind the reference's init/update API.
+
+    >>> mt = MultiTracker()
+    >>> mt.init(frame0, dets0)                  # dets: [N, 4|5] cx cy w h (score)
+    >>> tracks = mt.update(frame1, dets1)       # [(id, (cx, cy, w, h), score)]
+    """
+
+    def __init__(self, cfg: TrackerConfig | None = None):
+        self.cfg = cfg or DEFAULT_CONFIG
+        self.bank: TrackBank | None = None
+        self.last_output = None
+
+    def init(self, frame, detections):
+        dets, valid = pad_detections(detections, self.cfg.max_detections)
+        self.bank, out = step_mod.init(
+            jnp.asarray(frame), jnp.asarray(dets), jnp.asarray(valid),
+            self.cfg)
+        self.last_output = out
+        return self._unpack(out)
+
+    def update(self, frame, detections=None):
+        if self.bank is None:
+            raise RuntimeError("call init() first")
+        if detections is None:
+            detections = np.zeros((0, 5), np.float32)
+        dets, valid = pad_detections(detections, self.cfg.max_detections)
+        self.bank, out = step_mod.step(
+            self.bank, jnp.asarray(frame), jnp.asarray(dets),
+            jnp.asarray(valid), self.cfg)
+        self.last_output = out
+        return self._unpack(out)
+
+    def _unpack(self, out):
+        ids = np.asarray(out.ids)
+        boxes = np.asarray(out.boxes)
+        scores = np.asarray(out.scores)
+        valid = np.asarray(out.valid)
+        return [(int(ids[i]), tuple(float(v) for v in boxes[i]),
+                 float(scores[i]))
+                for i in np.where(valid)[0]]
+
+    # -- observability (SURVEY.md §5) ----------------------------------
+    def counters(self) -> dict:
+        o = self.last_output
+        if o is None:
+            return {}
+        return {"alive": int(o.n_alive), "births": int(o.n_births),
+                "deaths": int(o.n_deaths), "matches": int(o.n_matches)}
+
+    # -- checkpoint / resume (SURVEY.md §5) ----------------------------
+    def save_state(self) -> dict:
+        import jax
+        return {"bank": jax.tree.map(np.asarray, self.bank),
+                "cfg": self.cfg}
+
+    def load_state(self, snap: dict) -> None:
+        import jax
+        self.cfg = snap["cfg"]
+        self.bank = jax.tree.map(jnp.asarray, snap["bank"])
+
+
+def reset(cfg: TrackerConfig | None = None) -> TrackBank:
+    """Fresh empty bank (functional API)."""
+    return empty_bank(cfg or DEFAULT_CONFIG)

@@ -1,0 +1,264 @@
+"""The fused per-frame MOT step — one jitted device program per frame.
+
+This is the TPU-native rewrite of the reference's `mot_update` hot path
+(SURVEY.md §3.2): predict → KCF-detect → associate → correct/retrain →
+spawn/kill, with every per-track loop replaced by a bank-wide batched op and
+every lifecycle branch replaced by masking.  The only host work per frame
+is handing in the frame and padded detections (api.MultiTracker).
+
+Pipeline (matching the reference's per-frame traversal L3→{L1, L2a, L2b}):
+  1. Kalman predict (batched)                               [L2a]
+  2. KCF detect at predicted ROIs → refined positions        [L1/L0]
+  3. IoU (+appearance-from-response) cost, gating            [L2b]
+  4. Auction assignment in lax.while_loop                    [L2b]
+  5. Matched: KF correct with detection; unmatched with good
+     correlation peak: KF correct with the KCF position
+     (keeps tracks alive through missed detections)          [L2a]
+  6. Births into empty slots from unmatched detections       [L3]
+  7. Deaths by age/miss counters                             [L3]
+  8. Bank-wide KCF retrain with per-slot learning rate
+     (1.0 births, interp matched, 0 dead)                    [L1]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_mot.config import TrackerConfig
+from tpu_mot.ops import features as feat_ops
+from tpu_mot.ops import iou as iou_ops
+from tpu_mot.ops import kalman
+from tpu_mot.ops import kcf as kcf_ops
+from tpu_mot.ops import patch as patch_ops
+from tpu_mot.ops.assignment import auction_assign
+from tpu_mot.tracker import bank as bank_mod
+from tpu_mot.tracker.bank import CONFIRMED, EMPTY, TENTATIVE, TrackBank
+
+
+class StepOutput(NamedTuple):
+    """Per-frame result, dense over slots (mask with `valid`)."""
+    ids: jnp.ndarray          # [T] int32
+    boxes: jnp.ndarray        # [T, 4] cx cy w h
+    scores: jnp.ndarray       # [T] float32
+    valid: jnp.ndarray        # [T] bool — confirmed tracks this frame
+    matched_det: jnp.ndarray  # [T] int32 det index or -1
+    # Observability counters (SURVEY.md §5 metrics): fetched cheaply.
+    n_alive: jnp.ndarray      # [] int32
+    n_births: jnp.ndarray     # [] int32
+    n_deaths: jnp.ndarray     # [] int32
+    n_matches: jnp.ndarray    # [] int32
+
+
+def _features_at(frame_gray, boxes, cfg: TrackerConfig):
+    patches = patch_ops.extract_patches(
+        frame_gray, boxes, cfg.kcf.padding, cfg.kcf.template_size)
+    return feat_ops.raw_gray_features(patches)
+
+
+def _sample_response(response: jnp.ndarray, centers: jnp.ndarray,
+                     win: jnp.ndarray, det_centers: jnp.ndarray,
+                     size: int) -> jnp.ndarray:
+    """Appearance term: read each track's correlation response at each
+    detection's location — [T, D] for free from the already-computed
+    response maps (the reference evaluates KCF response at detections to
+    blend appearance into the cost, BASELINE north star).
+
+    response    : [T, S, S]
+    centers/win : [T, 2] predicted centers, [T, 2] search window (w, h)
+    det_centers : [D, 2]
+    """
+    t = response.shape[0]
+    # Template coords of detection d in track t's search window.
+    rel = (det_centers[None, :, :] - centers[:, None, :])        # [T, D, 2]
+    u = rel / jnp.maximum(win[:, None, :], 1e-3) * size + size // 2
+    ux = jnp.clip(u[..., 0], 0.0, size - 1.0)
+    uy = jnp.clip(u[..., 1], 0.0, size - 1.0)
+    x0 = jnp.floor(ux).astype(jnp.int32)
+    y0 = jnp.floor(uy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, size - 1)
+    y1 = jnp.minimum(y0 + 1, size - 1)
+    fx = ux - x0
+    fy = uy - y0
+    ti = jnp.arange(t)[:, None]
+    v = (response[ti, y0, x0] * (1 - fy) * (1 - fx)
+         + response[ti, y0, x1] * (1 - fy) * fx
+         + response[ti, y1, x0] * fy * (1 - fx)
+         + response[ti, y1, x1] * fy * fx)
+    inside = ((u[..., 0] >= 0) & (u[..., 0] <= size - 1)
+              & (u[..., 1] >= 0) & (u[..., 1] <= size - 1))
+    return jnp.where(inside, v, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
+         det_valid: jnp.ndarray, cfg: TrackerConfig
+         ) -> tuple[TrackBank, StepOutput]:
+    """One frame: returns (new bank, outputs).
+
+    frame     : [H, W] / [H, W, 3] image (uint8 or float).
+    dets      : [D, 5] (cx, cy, w, h, score), padded to static D.
+    det_valid : [D] bool for real detections.
+    """
+    t_cap = cfg.max_tracks
+    s = cfg.kcf.template_size
+    gray = patch_ops.to_gray(frame)
+    alive = bank.state > EMPTY
+    det_valid = det_valid & (dets[:, 4] >= cfg.det_score_min)
+    det_boxes = dets[:, :4]
+
+    # ---- 1. Kalman predict -------------------------------------------
+    kf_mean, kf_cov = kalman.predict(bank.kf_mean, bank.kf_cov, cfg.kalman)
+    pred_boxes = kf_mean[:, :4]
+
+    # ---- 2. KCF detect at predicted ROIs -----------------------------
+    if cfg.use_kcf:
+        feats = _features_at(gray, pred_boxes, cfg)
+        response = kcf_ops.detect(bank.kcf, feats, cfg.kcf.kernel_sigma)
+        dy, dx, peak = kcf_ops.peak_displacement(response)
+        win = pred_boxes[:, 2:4] * cfg.kcf.padding               # [T, 2]
+        kcf_cxy = pred_boxes[:, :2] + jnp.stack(
+            [dx, dy], axis=1) * win / s
+        # Trust the correlation only for live slots with a solid peak and
+        # an in-frame box (a fully clamped patch self-correlates at ~1.0,
+        # so in-frame gating is mandatory, not optional).
+        h_f, w_f = gray.shape
+        in_frame = ((pred_boxes[:, 0] > 0) & (pred_boxes[:, 0] < w_f)
+                    & (pred_boxes[:, 1] > 0) & (pred_boxes[:, 1] < h_f))
+        kcf_ok = alive & in_frame & (peak >= cfg.min_psr)
+        refined = jnp.where(kcf_ok[:, None],
+                            jnp.concatenate([kcf_cxy, pred_boxes[:, 2:4]],
+                                            axis=1),
+                            pred_boxes)
+    else:
+        response = None
+        peak = jnp.zeros((t_cap,), jnp.float32)
+        kcf_ok = jnp.zeros((t_cap,), bool)
+        refined = pred_boxes
+
+    # ---- 3. Cost matrix ----------------------------------------------
+    if cfg.use_kcf and cfg.appearance_weight > 0.0:
+        appearance = _sample_response(
+            response, pred_boxes[:, :2], pred_boxes[:, 2:4] * cfg.kcf.padding,
+            det_boxes[:, :2], s)
+    else:
+        appearance = None
+    cost = iou_ops.association_cost(
+        refined, det_boxes, alive, det_valid,
+        cfg.iou_gate, cfg.cost_infeasible,
+        appearance=appearance, appearance_weight=cfg.appearance_weight)
+    feasible = cost < cfg.cost_infeasible * 0.5
+
+    # ---- 4. Assignment -----------------------------------------------
+    matched_det = auction_assign(cost, feasible)                 # [T]
+    is_matched = matched_det >= 0
+    det_idx = jnp.clip(matched_det, 0, dets.shape[0] - 1)
+    det_taken = jnp.zeros((dets.shape[0],), bool).at[
+        jnp.where(is_matched, matched_det, dets.shape[0])].set(
+            True, mode="drop")
+
+    # ---- 5. Kalman correct -------------------------------------------
+    meas_det = det_boxes[det_idx]                                # [T, 4]
+    kcf_meas = refined
+    use_det = is_matched
+    use_kcf_meas = alive & ~is_matched & kcf_ok
+    meas = jnp.where(use_det[:, None], meas_det, kcf_meas)
+    kf_mean, kf_cov = kalman.correct(
+        kf_mean, kf_cov, meas, use_det | use_kcf_meas, cfg.kalman)
+
+    # ---- 6/7. Lifecycle ----------------------------------------------
+    hits = jnp.where(is_matched, bank.hits + 1, bank.hits)
+    tsu = jnp.where(is_matched, 0, bank.time_since_update + 1)
+    age = jnp.where(alive, bank.age + 1, 0)
+    state = bank.state
+    state = jnp.where((state == TENTATIVE) & (hits >= cfg.n_init),
+                      CONFIRMED, state)
+    die = alive & (
+        ((state == CONFIRMED) & (tsu > cfg.max_age))
+        | ((state == TENTATIVE) & ~is_matched
+           & (tsu > cfg.max_age_tentative)))
+    n_deaths = jnp.sum(die.astype(jnp.int32))
+    state = jnp.where(die, EMPTY, state)
+
+    # Births: unmatched valid detections → lowest-index empty slots.
+    empty_slots = state == EMPTY
+    free_rank = jnp.cumsum(empty_slots.astype(jnp.int32)) - 1     # [T]
+    slot_of_rank = jnp.full((t_cap,), t_cap, jnp.int32).at[
+        jnp.where(empty_slots, free_rank, t_cap)].set(
+            jnp.arange(t_cap, dtype=jnp.int32), mode="drop")      # [T]
+    new_det = det_valid & ~det_taken
+    birth_rank = jnp.cumsum(new_det.astype(jnp.int32)) - 1        # [D]
+    n_free = jnp.sum(empty_slots.astype(jnp.int32))
+    can_birth = new_det & (birth_rank < n_free)
+    birth_slot = jnp.where(
+        can_birth,
+        slot_of_rank[jnp.clip(birth_rank, 0, t_cap - 1)],
+        t_cap)                                                    # [D]
+    # Scatter detection index into its birth slot.
+    slot_birth_det = jnp.full((t_cap,), -1, jnp.int32).at[
+        birth_slot].set(jnp.arange(dets.shape[0], dtype=jnp.int32),
+                        mode="drop")
+    is_birth = slot_birth_det >= 0                                # [T]
+    n_births = jnp.sum(is_birth.astype(jnp.int32))
+    bdet = jnp.clip(slot_birth_det, 0, dets.shape[0] - 1)
+    birth_boxes = det_boxes[bdet]
+
+    init_mean, init_cov = kalman.init(birth_boxes, cfg.kalman)
+    kf_mean = jnp.where(is_birth[:, None], init_mean, kf_mean)
+    kf_cov = jnp.where(is_birth[:, None, None], init_cov, kf_cov)
+    state = jnp.where(is_birth, TENTATIVE, state)
+    hits = jnp.where(is_birth, 1, hits)
+    tsu = jnp.where(is_birth, 0, tsu)
+    age = jnp.where(is_birth, 1, age)
+    new_ids = bank.next_id + jnp.where(
+        is_birth, jnp.cumsum(is_birth.astype(jnp.int32)) - 1, 0)
+    ids = jnp.where(is_birth, new_ids, bank.ids)
+    ids = jnp.where(state == EMPTY, -1, ids)
+    score = jnp.where(is_birth, dets[bdet, 4], bank.score)
+    score = jnp.where(is_matched, dets[det_idx, 4], score)
+    next_id = bank.next_id + n_births
+
+    # ---- 8. Bank-wide KCF retrain ------------------------------------
+    if cfg.use_kcf:
+        final_boxes = jnp.where(is_birth[:, None], birth_boxes,
+                                kf_mean[:, :4])
+        lr = jnp.where(is_birth, 1.0,
+                       jnp.where((state > EMPTY) & (is_matched | kcf_ok),
+                                 cfg.kcf.interp_factor, 0.0))
+        feats_new = _features_at(gray, final_boxes, cfg)
+        yf = kcf_ops.make_yf(s, cfg.kcf.padding,
+                             cfg.kcf.output_sigma_factor)
+        fresh = kcf_ops.train(feats_new, yf, cfg.kcf.kernel_sigma,
+                              cfg.kcf.lambda_)
+        kcf_model = kcf_ops.blend(bank.kcf, fresh, lr)
+    else:
+        kcf_model = bank.kcf
+
+    new_bank = TrackBank(
+        kf_mean=kf_mean, kf_cov=kf_cov, kcf=kcf_model, ids=ids,
+        state=state, hits=hits, time_since_update=tsu, age=age,
+        score=score, next_id=next_id, frame_idx=bank.frame_idx + 1)
+
+    out = StepOutput(
+        ids=ids,
+        boxes=kf_mean[:, :4],
+        scores=score,
+        valid=(state == CONFIRMED),
+        matched_det=matched_det,
+        n_alive=jnp.sum((state > EMPTY).astype(jnp.int32)),
+        n_births=n_births,
+        n_deaths=n_deaths,
+        n_matches=jnp.sum(is_matched.astype(jnp.int32)),
+    )
+    return new_bank, out
+
+
+def init(frame: jnp.ndarray, dets: jnp.ndarray, det_valid: jnp.ndarray,
+         cfg: TrackerConfig) -> tuple[TrackBank, StepOutput]:
+    """Construct a bank from the first frame's detections — the reference's
+    `mot_init` (SURVEY.md §3.1): every valid detection births a track."""
+    bank = bank_mod.empty_bank(cfg)
+    return step(bank, frame, dets, det_valid, cfg)

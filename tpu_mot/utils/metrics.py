@@ -1,0 +1,127 @@
+"""CLEAR-MOT metrics (MOTA, IDF1, …) — host-side evaluation.
+
+The driver metric is "MOTA delta vs C++ reference" (BASELINE.json); the
+reference emits MOT-format result files for an external motmetrics-style
+scorer (SURVEY.md §4).  This is a self-contained implementation of the
+standard CLEAR matching rules: per-frame GT↔hypothesis matching at an IoU
+threshold with persistence of previous matches, counting FP/FN/ID switches;
+plus global ID measures (IDF1) via a one-shot bipartite match on
+co-occurrence counts.  Boxes are (cx, cy, w, h).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    ax1, ay1 = a[:, 0] - a[:, 2] / 2, a[:, 1] - a[:, 3] / 2
+    ax2, ay2 = a[:, 0] + a[:, 2] / 2, a[:, 1] + a[:, 3] / 2
+    bx1, by1 = b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2
+    bx2, by2 = b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2
+    iw = np.maximum(0, np.minimum(ax2[:, None], bx2) - np.maximum(ax1[:, None], bx1))
+    ih = np.maximum(0, np.minimum(ay2[:, None], by2) - np.maximum(ay1[:, None], by1))
+    inter = iw * ih
+    union = (a[:, 2] * a[:, 3])[:, None] + b[:, 2] * b[:, 3] - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def clear_mot(gt_frames, hyp_frames, iou_thr: float = 0.5) -> dict:
+    """Compute CLEAR-MOT + identity metrics.
+
+    gt_frames / hyp_frames: per-frame sequences of (ids [N], boxes [N, 4]).
+    Returns dict with mota, motp, idf1, fp, fn, idsw, n_gt, precision,
+    recall, mostly_tracked/mostly_lost fractions.
+    """
+    assert len(gt_frames) == len(hyp_frames)
+    fp = fn = idsw = n_gt_total = n_matches = 0
+    sum_iou = 0.0
+    last_hyp_for_gt: dict = {}
+    cooc: dict = {}
+    gt_len: dict = {}
+    hyp_len: dict = {}
+    gt_tracked_frames: dict = {}
+
+    for (gids, gboxes), (hids, hboxes) in zip(gt_frames, hyp_frames):
+        gids = np.asarray(gids)
+        hids = np.asarray(hids)
+        gboxes = np.asarray(gboxes, float).reshape(len(gids), 4)
+        hboxes = np.asarray(hboxes, float).reshape(len(hids), 4)
+        n_gt_total += len(gids)
+        for g in gids:
+            gt_len[g] = gt_len.get(g, 0) + 1
+        for h in hids:
+            hyp_len[h] = hyp_len.get(h, 0) + 1
+
+        iou = _iou_matrix(gboxes, hboxes)
+        matched_g = np.zeros(len(gids), bool)
+        matched_h = np.zeros(len(hids), bool)
+        matches = []
+
+        # 1. Persist previous pairings still above the threshold (CLEAR).
+        hid_index = {h: j for j, h in enumerate(hids)}
+        for i, g in enumerate(gids):
+            prev = last_hyp_for_gt.get(g)
+            if prev is not None and prev in hid_index:
+                j = hid_index[prev]
+                if iou[i, j] >= iou_thr and not matched_h[j]:
+                    matches.append((i, j))
+                    matched_g[i] = matched_h[j] = True
+
+        # 2. Hungarian on the remainder.
+        free_g = np.where(~matched_g)[0]
+        free_h = np.where(~matched_h)[0]
+        if len(free_g) and len(free_h):
+            sub = 1.0 - iou[np.ix_(free_g, free_h)]
+            ri, ci = linear_sum_assignment(sub)
+            for r, c in zip(ri, ci):
+                i, j = free_g[r], free_h[c]
+                if iou[i, j] >= iou_thr:
+                    matches.append((i, j))
+                    matched_g[i] = matched_h[j] = True
+
+        for i, j in matches:
+            g, h = gids[i], hids[j]
+            if g in last_hyp_for_gt and last_hyp_for_gt[g] != h:
+                idsw += 1
+            last_hyp_for_gt[g] = h
+            cooc[(g, h)] = cooc.get((g, h), 0) + 1
+            gt_tracked_frames[g] = gt_tracked_frames.get(g, 0) + 1
+            sum_iou += iou[i, j]
+        n_matches += len(matches)
+        fn += int((~matched_g).sum())
+        fp += int((~matched_h).sum())
+
+    mota = 1.0 - (fn + fp + idsw) / max(n_gt_total, 1)
+    motp = sum_iou / max(n_matches, 1)
+
+    # IDF1: global bipartite match of GT ids to hyp ids on co-occurrence.
+    gt_ids = sorted(gt_len)
+    hyp_ids = sorted(hyp_len)
+    if gt_ids and hyp_ids:
+        mat = np.zeros((len(gt_ids), len(hyp_ids)))
+        for (g, h), c in cooc.items():
+            mat[gt_ids.index(g), hyp_ids.index(h)] = c
+        ri, ci = linear_sum_assignment(-mat)
+        idtp = mat[ri, ci].sum()
+    else:
+        idtp = 0.0
+    total_len = sum(gt_len.values()) + sum(hyp_len.values())
+    idf1 = 2.0 * idtp / max(total_len, 1)
+
+    ratios = [gt_tracked_frames.get(g, 0) / gt_len[g] for g in gt_ids]
+    mostly_tracked = (np.mean([r >= 0.8 for r in ratios]) if ratios else 0.0)
+    mostly_lost = (np.mean([r < 0.2 for r in ratios]) if ratios else 0.0)
+    n_hyp_total = sum(hyp_len.values())
+    return {
+        "mota": mota, "motp": motp, "idf1": idf1,
+        "fp": fp, "fn": fn, "idsw": idsw,
+        "n_gt": n_gt_total, "n_hyp": n_hyp_total,
+        "recall": n_matches / max(n_gt_total, 1),
+        "precision": n_matches / max(n_hyp_total, 1),
+        "mostly_tracked": float(mostly_tracked),
+        "mostly_lost": float(mostly_lost),
+    }
