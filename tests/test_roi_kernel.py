@@ -1,0 +1,65 @@
+"""Pallas ROI kernel parity vs the XLA sampler (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_mot.kernels import roi
+from tpu_mot.ops import patch as patch_ops
+
+
+def test_level0_exact_parity():
+    """Windows <= MAX_WIN px sample level 0 — bit-comparable to the XLA
+    bilinear path."""
+    rng = np.random.default_rng(0)
+    frame = rng.random((240, 320)).astype(np.float32)
+    boxes = np.array([[70.0, 50.0, 20.0, 26.0],
+                      [150.0, 120.0, 40.0, 30.0],
+                      [10.0, 230.0, 30.0, 24.0]], np.float32)  # edge clamp
+    got = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64, interpret=True))
+    want = np.asarray(patch_ops.extract_patches(
+        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_higher_level_approximates_fullres():
+    """Large windows sample a mip level; result must approximate the
+    full-res average within a coarse tolerance."""
+    rng = np.random.default_rng(1)
+    # Smooth image so mip-level sampling is close to full-res sampling.
+    small = rng.random((30, 40)).astype(np.float32)
+    frame = np.kron(small, np.ones((16, 16))).astype(np.float32)  # 480x640
+    boxes = np.array([[320.0, 240.0, 120.0, 100.0]], np.float32)  # win=300
+    got = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64, interpret=True))
+    want = np.asarray(patch_ops.extract_patches(
+        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64))
+    # Mip sampling blurs sharp texture edges over 2^k full-res pixels;
+    # mean error stays small, max error concentrates at block borders.
+    assert np.abs(got - want).mean() < 0.05, np.abs(got - want).mean()
+
+
+def test_degenerate_and_outside_boxes_finite():
+    rng = np.random.default_rng(2)
+    frame = rng.random((240, 320)).astype(np.float32)
+    boxes = np.array([[10.0, 10.0, 0.0, 0.0],
+                      [1000.0, 1000.0, 20.0, 20.0],
+                      [-50.0, -50.0, 600.0, 600.0]], np.float32)
+    got = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64, interpret=True))
+    assert np.isfinite(got).all()
+
+
+def test_pyramid_shapes_and_content():
+    rng = np.random.default_rng(3)
+    frame = rng.random((1080, 1920)).astype(np.float32)
+    levels = roi.build_pyramid(jnp.asarray(frame))
+    assert len(levels) == roi.N_LEVELS
+    # Level 1 equals 2x average pooling of the frame.
+    l1 = np.asarray(levels[1])[:540, :960]
+    want = frame.reshape(540, 2, 960, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(l1, want, rtol=1e-5, atol=1e-5)
+    # Alignment padding present.
+    for lv, arr in enumerate(levels):
+        assert arr.shape[0] % 8 == 0 and arr.shape[1] % 128 == 0
+        assert arr.shape[0] >= roi.BLK_ROWS and arr.shape[1] >= roi.BLK_COLS

@@ -97,6 +97,10 @@ class TrackerConfig:
     frame_height: int = 480
     frame_width: int = 640
 
+    # ROI extraction implementation: "auto" | "pallas" | "xla"
+    # (kernels/roi.py vs ops/patch.py; auto = pallas on TPU).
+    roi_impl: str = "auto"
+
     def replace(self, **kw) -> "TrackerConfig":
         return dataclasses.replace(self, **kw)
 

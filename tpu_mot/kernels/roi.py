@@ -1,0 +1,234 @@
+"""Pallas ROI-extraction kernel: per-track window DMA + MXU resample.
+
+The profiler showed the per-frame step is dominated by ROI sampling when it
+is expressed as XLA gathers (row gathers from a 1080p HBM frame ran at
+~10 GB/s, 26 ms of a 27 ms step).  The reference does this crop per track
+on the CPU (SURVEY.md §2 "features"); the TPU-native design is:
+
+  * The frame is reduced once per frame into a small mip pyramid
+    (dense 2x average-pool chain — VPU work, ~1 extra frame read).
+  * One Pallas grid program per track: pick the pyramid level where the
+    context window is <= 128 px, DMA just that window's aligned block
+    (160 x 256 px) HBM→VMEM, and bilinear-resample to the 64 x 64 template
+    with two tiny matmuls on the MXU (resampling = one-hot weight matrices
+    W_y @ block @ W_x^T).
+
+Traffic: ~160 KB per track instead of streaming megabytes of gathered rows
+— about 20 MB/frame at 128 tracks, two orders of magnitude less than the
+gather formulation.
+
+Pyramid levels also bound the largest trackable window: with 4 levels the
+window may reach 128 * 8 = 1024 px on the full-resolution frame.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_LEVELS = 4
+BLK_ROWS = 160      # window rows per DMA block (multiple of 8)
+BLK_COLS = 256      # window cols per DMA block (multiple of 128)
+MAX_WIN = 128.0     # level chosen so the window is <= this many px
+
+
+def _ceil_mult(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _level_shapes(h: int, w: int):
+    """Padded (rows, cols) of each pyramid level; rows >= BLK_ROWS and
+    cols >= BLK_COLS so a full block DMA never overruns."""
+    shapes = []
+    for lv in range(N_LEVELS):
+        lh = -(-h // (1 << lv))
+        lw = -(-w // (1 << lv))
+        shapes.append((max(_ceil_mult(lh, 8), BLK_ROWS),
+                       max(_ceil_mult(lw, 128), BLK_COLS)))
+    return tuple(shapes)
+
+
+def build_pyramid(gray: jnp.ndarray):
+    """[H, W] float32 → list of N_LEVELS padded level images.
+
+    Level k is a 2^k x 2^k average pool; padding replicates nothing (zeros)
+    — samplers never index past the true extent.
+    """
+    h, w = gray.shape
+    shapes = _level_shapes(h, w)
+    levels = []
+    cur = gray
+    for lv in range(N_LEVELS):
+        ch, cw = cur.shape
+        ph, pw = shapes[lv]
+        levels.append(jnp.pad(cur, ((0, ph - ch), (0, pw - cw))))
+        if lv + 1 < N_LEVELS:
+            nh, nw = -(-ch // 2), -(-cw // 2)
+            padded = jnp.pad(cur, ((0, 2 * nh - ch), (0, 2 * nw - cw)),
+                             mode="edge")
+            cur = padded.reshape(nh, 2, nw, 2).mean(axis=(1, 3))
+    return levels
+
+
+# Tracks resampled per grid program; window DMAs are double-buffered so
+# track k+1's HBM→VMEM copy overlaps track k's MXU resample.
+TRACKS_PER_PROG = 8
+
+
+def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
+                l0, l1, l2, l3, out_ref, scratch, sem):
+    g = pl.program_id(0)
+    levels = (l0, l1, l2, l3)
+
+    def start_dma(k, slot):
+        t = g * TRACKS_PER_PROG + k
+        lvl = lvl_ref[t]
+        r0 = pl.multiple_of(r0_ref[t], 8)
+        c0 = pl.multiple_of(c0_ref[t], 128)
+        for lv in range(N_LEVELS):
+            @pl.when(lvl == lv)
+            def _():
+                pltpu.make_async_copy(
+                    levels[lv].at[pl.ds(r0, BLK_ROWS), pl.ds(c0, BLK_COLS)],
+                    scratch.at[slot], sem.at[slot]).start()
+
+    def wait_dma(k, slot):
+        t = g * TRACKS_PER_PROG + k
+        lvl = lvl_ref[t]
+        r0 = pl.multiple_of(r0_ref[t], 8)
+        c0 = pl.multiple_of(c0_ref[t], 128)
+        for lv in range(N_LEVELS):
+            @pl.when(lvl == lv)
+            def _():
+                pltpu.make_async_copy(
+                    levels[lv].at[pl.ds(r0, BLK_ROWS), pl.ds(c0, BLK_COLS)],
+                    scratch.at[slot], sem.at[slot]).wait()
+
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1, BLK_ROWS), 1).astype(jnp.float32)
+    col_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1, BLK_COLS), 1).astype(jnp.float32)
+
+    start_dma(0, 0)
+    for k in range(TRACKS_PER_PROG):
+        slot = k % 2
+        if k + 1 < TRACKS_PER_PROG:
+            start_dma(k + 1, (k + 1) % 2)
+        wait_dma(k, slot)
+        t = g * TRACKS_PER_PROG + k
+        r0f = r0_ref[t].astype(jnp.float32)
+        c0f = c0_ref[t].astype(jnp.float32)
+        # Bilinear resample via one-hot weight matmuls on the MXU.
+        ys = ys_ref[t, :] - r0f                       # [S] block-local rows
+        xs = xs_ref[t, :] - c0f                       # [S] block-local cols
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_iota))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - col_iota))
+        tmp = jnp.dot(wy, scratch[slot], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        out = jax.lax.dot_general(tmp, wx, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+        out_ref[k] = out
+
+
+def _sample_coords(boxes, padding, size, scales):
+    """Per-track pyramid level + block origin + block-level sample coords."""
+    cx, cy, w, h = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    w = jnp.maximum(w, 1.0)
+    h = jnp.maximum(h, 1.0)
+    if scales is not None:
+        w = w * scales
+        h = h * scales
+    win_w = w * padding
+    win_h = h * padding
+    win = jnp.maximum(win_w, win_h)
+    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(win / MAX_WIN, 1.0))),
+                   0, N_LEVELS - 1).astype(jnp.int32)
+    return lvl, win_w, win_h, cx, cy
+
+
+def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
+                           padding: float, size: int,
+                           scales: jnp.ndarray | None = None,
+                           interpret: bool = False,
+                           levels=None, frame_hw=None) -> jnp.ndarray:
+    """Pallas ROI extraction: [H, W] frame + [T, 4] boxes → [T, S, S].
+
+    Equivalent to ops.patch.extract_patches up to the mip-level resampling
+    for windows wider than MAX_WIN px (larger boxes sample a downscaled
+    level; the XLA path always samples full resolution).
+
+    levels/frame_hw: pass a prebuilt pyramid (build_pyramid) to amortize
+    the once-per-frame reduction across extraction sites — rebuilding it
+    per call costs ~2.7 ms at 1080p vs ~0.03 ms for the kernel itself.
+    """
+    t_cap = boxes.shape[0]
+    if levels is None:
+        h, w = gray.shape
+        levels = build_pyramid(gray)
+    else:
+        h, w = frame_hw
+    shapes = _level_shapes(h, w)
+
+    lvl, win_w, win_h, cx, cy = _sample_coords(boxes, padding, size, scales)
+    scale = (2.0 ** lvl.astype(jnp.float32))
+    # True (unpadded) extent of each level, for coordinate clamping.
+    lh = jnp.asarray([-(-h // (1 << k)) for k in range(N_LEVELS)],
+                     jnp.float32)[lvl]                 # [T]
+    lw = jnp.asarray([-(-w // (1 << k)) for k in range(N_LEVELS)],
+                     jnp.float32)[lvl]
+    u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size - 0.5
+    # Full-res coordinate y maps to level-k coordinate (y + .5)/2^k - .5
+    # (level pixel centers); at level 0 this is exactly the XLA path's y.
+    ys = jnp.clip(
+        (cy[:, None] + u[None, :] * win_h[:, None] + 0.5) / scale[:, None]
+        - 0.5, 0.0, (lh - 1.0)[:, None])               # [T, S]
+    xs = jnp.clip(
+        (cx[:, None] + u[None, :] * win_w[:, None] + 0.5) / scale[:, None]
+        - 0.5, 0.0, (lw - 1.0)[:, None])
+    # Aligned block origins; clamp so a full block stays inside the padded
+    # level (padded rows/cols are >= BLK and real coords never index them
+    # with nonzero weight beyond one zero row/col at the true edge).
+    max_r0 = jnp.asarray([s[0] - BLK_ROWS for s in shapes], jnp.int32)[lvl]
+    max_c0 = jnp.asarray([s[1] - BLK_COLS for s in shapes], jnp.int32)[lvl]
+    r0 = jnp.clip((jnp.floor(ys[:, 0]).astype(jnp.int32) // 8) * 8,
+                  0, max_r0)
+    c0 = jnp.clip((jnp.floor(xs[:, 0]).astype(jnp.int32) // 128) * 128,
+                  0, max_c0)
+
+    t_pad = _ceil_mult(t_cap, TRACKS_PER_PROG)
+    if t_pad != t_cap:
+        pad = ((0, t_pad - t_cap),)
+        lvl = jnp.pad(lvl, pad)
+        r0 = jnp.pad(r0, pad)
+        c0 = jnp.pad(c0, pad)
+        ys = jnp.pad(ys, pad + ((0, 0),))
+        xs = jnp.pad(xs, pad + ((0, 0),))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_pad // TRACKS_PER_PROG,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # ys (full [T, S])
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # xs
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * N_LEVELS,
+        out_specs=pl.BlockSpec((TRACKS_PER_PROG, size, size),
+                               lambda g, *_: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLK_ROWS, BLK_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _roi_kernel,
+        out_shape=jax.ShapeDtypeStruct((t_pad, size, size), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lvl, r0, c0, ys, xs, *levels)
+    return out[:t_cap]

@@ -76,33 +76,42 @@ def auction_assign(cost: jnp.ndarray, feasible: jnp.ndarray,
         _, col_of, _, it = state
         return jnp.any(col_of < 0) & (it < max_iters)
 
+    row_iota = jnp.arange(n, dtype=jnp.int32)
+    col_iota2 = jnp.arange(n, dtype=jnp.int32)[None, :]
+
     def body(state):
+        # Dense-mask formulation: TPU gathers/scatters inside a while_loop
+        # dominated the step profile (kCustom scatter fusions); every
+        # indexed update below is an [n, n] one-hot compare+select on the
+        # VPU instead.
         prices, col_of, row_of, it = state
         bidding = col_of < 0                           # [n]
         values = b - prices[None, :]                   # [n, n]
         j_star = jnp.argmax(values, axis=1)            # [n]
         m1 = jnp.max(values, axis=1)
-        masked = values.at[jnp.arange(n), j_star].set(-jnp.inf)
-        m2 = jnp.max(masked, axis=1)
+        star_mask = col_iota2 == j_star[:, None]       # [n, n]
+        m2 = jnp.max(jnp.where(star_mask, -jnp.inf, values), axis=1)
         m2 = jnp.where(jnp.isfinite(m2), m2, m1)       # single-col case
-        bid = prices[j_star] + (m1 - m2) + eps         # [n]
+        price_at_star = jnp.max(jnp.where(star_mask, prices[None, :],
+                                          -jnp.inf), axis=1)
+        bid = price_at_star + (m1 - m2) + eps          # [n]
 
         # Column-wise best bid (Jacobi auction round).
-        col_iota = jnp.arange(n)[None, :]
-        bids_mat = jnp.where(
-            (col_iota == j_star[:, None]) & bidding[:, None],
-            bid[:, None], -jnp.inf)                    # [n, n]
+        bids_mat = jnp.where(star_mask & bidding[:, None],
+                             bid[:, None], -jnp.inf)   # [n, n]
         best_bid = jnp.max(bids_mat, axis=0)           # [n]
         winner = jnp.argmax(bids_mat, axis=0).astype(jnp.int32)
         has_bid = jnp.isfinite(best_bid)
 
-        # Evict previous owners of re-auctioned columns.
-        evicted = jnp.where(has_bid, row_of, n)        # index n = drop
-        col_of = col_of.at[evicted].set(-1, mode="drop")
-        # Install winners.
-        win_rows = jnp.where(has_bid, winner, n)
-        col_of = col_of.at[win_rows].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        # Evict previous owners of re-auctioned columns (dense mask).
+        evicted_row = (has_bid[None, :]
+                       & (row_of[None, :] == row_iota[:, None]))  # [n, n]
+        was_evicted = jnp.any(evicted_row, axis=1)
+        # Install winners: row i wins column j iff winner[j] == i & has_bid.
+        win_mask = has_bid[None, :] & (winner[None, :] == row_iota[:, None])
+        won_col = jnp.max(jnp.where(win_mask, col_iota2, -1), axis=1)
+        col_of = jnp.where(won_col >= 0, won_col,
+                           jnp.where(was_evicted, -1, col_of))
         row_of = jnp.where(has_bid, winner, row_of)
         prices = jnp.where(has_bid, best_bid, prices)
         return prices, col_of, row_of, it + 1

@@ -33,8 +33,8 @@ class KCFBank(NamedTuple):
 def _features_at(frame_gray: jnp.ndarray, boxes: jnp.ndarray,
                  cfg: KCFConfig, scales: jnp.ndarray | None = None
                  ) -> jnp.ndarray:
-    patches = patch_ops.extract_patches(frame_gray, boxes, cfg.padding,
-                                        cfg.template_size, scales)
+    patches = patch_ops.extract_patches_auto(frame_gray, boxes, cfg.padding,
+                                             cfg.template_size, scales)
     return feat_ops.raw_gray_features(patches)
 
 

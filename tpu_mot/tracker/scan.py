@@ -1,0 +1,81 @@
+"""Sequence-level tracking: scan the fused step over a frame batch.
+
+The per-frame API (api.MultiTracker) pays one host↔device round trip per
+frame — fine on a local chip, dominant over a tunneled link.  For offline
+sequences and throughput serving, the whole clip is tracked in ONE device
+program: frames [N, H, W] and padded detections live in HBM, and
+`jax.lax.scan` carries the TrackBank across frames, emitting stacked
+per-frame outputs.  This is also the shape the multi-stream serving layer
+shards over a mesh (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_mot.config import TrackerConfig
+from tpu_mot.tracker import bank as bank_mod
+from tpu_mot.tracker import step as step_mod
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_sequence(bank, frames: jnp.ndarray, dets: jnp.ndarray,
+                 det_valid: jnp.ndarray, cfg: TrackerConfig):
+    """Track a whole clip in one device call.
+
+    bank      : TrackBank carry (use tracker.bank.empty_bank to start).
+    frames    : [N, H, W] (or [N, H, W, 3]) image stack.
+    dets      : [N, D, 5] padded detections per frame.
+    det_valid : [N, D] bool.
+    Returns (final bank, StepOutput stacked over N).
+    """
+    def body(carry, inp):
+        frame, det, valid = inp
+        new_bank, out = step_mod.step(carry, frame, det, valid, cfg)
+        return new_bank, out
+
+    return jax.lax.scan(body, bank, (frames, dets, det_valid))
+
+
+def track_sequence(frames, detections, cfg: TrackerConfig | None = None,
+                   bank=None, chunk: int | None = None):
+    """Host convenience: numpy frames + per-frame detection lists → tracks.
+
+    detections: sequence of [D_f, 4|5] arrays (e.g. data.synthetic or a
+    MOT det file).  Returns (final bank, list over frames of
+    [(id, (cx, cy, w, h), score)], stacked StepOutput).
+
+    chunk: process the clip in chunks of this many frames (bounds HBM use
+    for long videos); outputs are concatenated.
+    """
+    from tpu_mot.tracker.api import pad_detections
+
+    cfg = cfg or TrackerConfig()
+    n = len(frames)
+    d = np.zeros((n, cfg.max_detections, 5), np.float32)
+    v = np.zeros((n, cfg.max_detections), bool)
+    for f in range(n):
+        d[f], v[f] = pad_detections(detections[f], cfg.max_detections)
+    bank = bank if bank is not None else bank_mod.empty_bank(cfg)
+
+    outs = []
+    chunk = chunk or n
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        bank, out = run_sequence(bank, jnp.asarray(frames[lo:hi]),
+                                 jnp.asarray(d[lo:hi]),
+                                 jnp.asarray(v[lo:hi]), cfg)
+        outs.append(jax.tree.map(np.asarray, out))
+    stacked = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *outs)
+
+    tracks = []
+    for f in range(n):
+        sel = np.where(stacked.valid[f])[0]
+        tracks.append([(int(stacked.ids[f, i]),
+                        tuple(float(x) for x in stacked.boxes[f, i]),
+                        float(stacked.scores[f, i])) for i in sel])
+    return bank, tracks, stacked

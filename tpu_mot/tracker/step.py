@@ -53,9 +53,11 @@ class StepOutput(NamedTuple):
     n_matches: jnp.ndarray    # [] int32
 
 
-def _features_at(frame_gray, boxes, cfg: TrackerConfig):
-    patches = patch_ops.extract_patches(
-        frame_gray, boxes, cfg.kcf.padding, cfg.kcf.template_size)
+def _features_at(frame_gray, boxes, cfg: TrackerConfig, levels=None):
+    patches = patch_ops.extract_patches_auto(
+        frame_gray, boxes, cfg.kcf.padding, cfg.kcf.template_size,
+        impl=cfg.roi_impl, levels=levels,
+        frame_hw=(cfg.frame_height, cfg.frame_width))
     return feat_ops.raw_gray_features(patches)
 
 
@@ -106,6 +108,17 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     t_cap = cfg.max_tracks
     s = cfg.kcf.template_size
     gray = patch_ops.to_gray(frame)
+    # Mip pyramid for the Pallas ROI kernel, built once per frame and
+    # shared by the detect- and train-site extractions.
+    if cfg.use_kcf and cfg.roi_impl != "xla":
+        import jax as _jax
+        if cfg.roi_impl == "pallas" or _jax.default_backend() != "cpu":
+            from tpu_mot.kernels import roi as _roi
+            levels = _roi.build_pyramid(gray)
+        else:
+            levels = None
+    else:
+        levels = None
     alive = bank.state > EMPTY
     det_valid = det_valid & (dets[:, 4] >= cfg.det_score_min)
     det_boxes = dets[:, :4]
@@ -116,7 +129,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
 
     # ---- 2. KCF detect at predicted ROIs -----------------------------
     if cfg.use_kcf:
-        feats = _features_at(gray, pred_boxes, cfg)
+        feats = _features_at(gray, pred_boxes, cfg, levels)
         response = kcf_ops.detect(bank.kcf, feats, cfg.kcf.kernel_sigma)
         dy, dx, peak = kcf_ops.peak_displacement(response)
         win = pred_boxes[:, 2:4] * cfg.kcf.padding               # [T, 2]
@@ -228,7 +241,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         lr = jnp.where(is_birth, 1.0,
                        jnp.where((state > EMPTY) & (is_matched | kcf_ok),
                                  cfg.kcf.interp_factor, 0.0))
-        feats_new = _features_at(gray, final_boxes, cfg)
+        feats_new = _features_at(gray, final_boxes, cfg, levels)
         yf = kcf_ops.make_yf(s, cfg.kcf.padding,
                              cfg.kcf.output_sigma_factor)
         fresh = kcf_ops.train(feats_new, yf, cfg.kcf.kernel_sigma,
