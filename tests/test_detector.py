@@ -1,0 +1,170 @@
+"""YOLO detector tests: NMS vs oracle, decode correctness, end-to-end
+shapes, darknet weight-file round trip (SURVEY.md §4.1 parity tier)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_mot.models.detector import (YoloDetector, detect_batch,
+                                     load_darknet_weights,
+                                     _conv_layers_in_call_order)
+from tpu_mot.models.yolo import (YoloSpec, build_model, decode_head,
+                                 YOLOV2_TINY_ANCHORS)
+from tpu_mot.ops import nms as nms_ops
+
+import oracles
+
+
+def _nms_oracle(boxes, scores, iou_thr, score_thr):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i] or scores[i] <= score_thr:
+            continue
+        keep.append(i)
+        for j in range(len(boxes)):
+            if not suppressed[j] and oracles.iou_xywh(
+                    boxes[i], boxes[j]) >= iou_thr:
+                suppressed[j] = True
+    return keep
+
+
+def test_nms_matches_oracle():
+    rng = np.random.default_rng(0)
+    boxes = np.concatenate([rng.uniform(50, 200, (40, 2)),
+                            rng.uniform(10, 50, (40, 2))], 1).astype(
+                                np.float32)
+    scores = rng.uniform(0, 1, 40).astype(np.float32)
+    idx, valid = nms_ops.nms(jnp.asarray(boxes), jnp.asarray(scores),
+                             max_out=20, iou_thr=0.5, score_thr=0.1)
+    got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(valid)) if v]
+    want = _nms_oracle(boxes, scores, 0.5, 0.1)[:20]
+    assert got == want
+
+
+def test_nms_classwise_keeps_other_classes():
+    boxes = jnp.asarray([[100.0, 100, 20, 20], [102.0, 100, 20, 20]])
+    scores = jnp.asarray([0.9, 0.8])
+    # Same class: second box suppressed.
+    idx, valid = nms_ops.nms_classwise(boxes, scores,
+                                       jnp.asarray([0, 0]), 4)
+    assert int(np.asarray(valid).sum()) == 1
+    # Different classes: both survive.
+    idx, valid = nms_ops.nms_classwise(boxes, scores,
+                                       jnp.asarray([0, 1]), 4)
+    assert int(np.asarray(valid).sum()) == 2
+
+
+def test_decode_head_known_cell():
+    """Craft a logit tensor with one hot cell and check the decoded box."""
+    nc, a = 3, 2
+    anchors = ((20, 30), (40, 60))
+    raw = np.full((1, 4, 4, a * (5 + nc)), -10.0, np.float32)
+    # Cell (1, 2), anchor 1: xy logits 0 → offset .5, wh logits 0 → anchor.
+    base = 1 * (5 + nc)
+    raw[0, 1, 2, base + 0] = 0.0
+    raw[0, 1, 2, base + 1] = 0.0
+    raw[0, 1, 2, base + 2] = 0.0
+    raw[0, 1, 2, base + 3] = 0.0
+    raw[0, 1, 2, base + 4] = 10.0      # objectness ~1
+    raw[0, 1, 2, base + 5 + 1] = 10.0  # class 1
+    boxes, scores, classes = decode_head(jnp.asarray(raw), anchors, 32, nc,
+                                         128)
+    flat_idx = (1 * 4 + 2) * a + 1
+    box = np.asarray(boxes)[0, flat_idx]
+    np.testing.assert_allclose(box, [(2 + 0.5) * 32, (1 + 0.5) * 32, 40, 60],
+                               rtol=1e-5)
+    assert np.asarray(scores)[0, flat_idx] > 0.95
+    assert np.asarray(classes)[0, flat_idx] == 1
+
+
+@pytest.mark.parametrize("variant,n_heads", [("yolov3-tiny", 2),
+                                             ("yolov2-tiny", 1)])
+def test_forward_shapes(variant, n_heads):
+    spec = YoloSpec(variant, num_classes=4, input_size=160)
+    model = build_model(spec)
+    var = model.init(jax.random.PRNGKey(0),
+                     jnp.zeros((2, 160, 160, 3), jnp.float32))
+    heads = model.apply(var, jnp.zeros((2, 160, 160, 3), jnp.float32))
+    assert len(heads) == n_heads
+    assert heads[0].shape[1] == 160 // 32
+
+
+def test_detect_end_to_end_shapes():
+    spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=96,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    det = YoloDetector.random_init(spec, max_out=16, score_thr=0.0)
+    frames = (np.random.default_rng(0).random((120, 160)) * 255).astype(
+        np.uint8)
+    dets, valid, classes = det.detect(frames)
+    assert dets.shape == (16, 5)
+    assert valid.shape == (16,)
+    # Boxes come back in frame pixel space.
+    assert np.all(dets[valid][:, 0] <= 160 * 2)
+
+
+def test_darknet_weight_roundtrip(tmp_path):
+    """Serialize random darknet-format weights, load, and check exact
+    placement (BN folding order, OIHW→HWIO transpose)."""
+    spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=96,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    det = YoloDetector.random_init(spec)
+    rng = np.random.default_rng(0)
+
+    chunks = [np.asarray([0, 2, 0], np.int32).tobytes(),
+              np.asarray([0], np.int64).tobytes()]
+    expected = {}
+    params = jax.tree.map(np.asarray, det.params)
+    for name, use_bn in _conv_layers_in_call_order(spec):
+        conv = params["params"][name]["conv"]
+        kh, kw, ci, co = conv["kernel"].shape
+        if use_bn:
+            for field in ("bias", "scale", "mean", "var"):
+                arr = rng.standard_normal(co).astype(np.float32)
+                chunks.append(arr.tobytes())
+                expected[(name, field)] = arr
+        else:
+            arr = rng.standard_normal(co).astype(np.float32)
+            chunks.append(arr.tobytes())
+            expected[(name, "conv_bias")] = arr
+        w = rng.standard_normal((co, ci, kh, kw)).astype(np.float32)
+        chunks.append(w.tobytes())
+        expected[(name, "kernel")] = np.transpose(w, (2, 3, 1, 0))
+
+    path = tmp_path / "w.weights"
+    path.write_bytes(b"".join(chunks))
+    loaded = load_darknet_weights(spec, str(path))
+    loaded = jax.tree.map(np.asarray, loaded)
+    for (name, field), want in expected.items():
+        if field == "kernel":
+            got = loaded["params"][name]["conv"]["kernel"]
+        elif field == "conv_bias":
+            got = loaded["params"][name]["conv"]["bias"]
+        elif field in ("bias", "scale"):
+            got = loaded["params"][name]["bn"][field]
+        else:
+            got = loaded["batch_stats"][name]["bn"][field]
+        np.testing.assert_array_equal(got, want, err_msg=f"{name}/{field}")
+
+
+def test_detector_in_tracker_loop():
+    """Full pipeline smoke: random-weight detector feeding MultiTracker —
+    the reference's detect-track loop with no precomputed det files."""
+    from tpu_mot.config import TrackerConfig
+    from tpu_mot.tracker.api import MultiTracker
+
+    spec = YoloSpec("yolov2-tiny", num_classes=1, input_size=96,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    det = YoloDetector.random_init(spec, max_out=8, score_thr=0.99)
+    cfg = TrackerConfig(max_tracks=16, max_detections=8, frame_height=120,
+                        frame_width=160)
+    mt = MultiTracker(cfg)
+    frames = np.random.default_rng(1).random((3, 120, 160)).astype(
+        np.float32)
+    dets, valid, _ = det.detect(frames[0])
+    mt.init(frames[0], dets[valid])
+    for f in range(1, 3):
+        dets, valid, _ = det.detect(frames[f])
+        mt.update(frames[f], dets[valid])

@@ -1,0 +1,116 @@
+"""Detector training: data-parallel YOLO train step over a device mesh.
+
+The reference ships pretrained TF weights and has no training loop; a
+complete framework needs one to own its detector end to end.  The step is
+standard YOLO supervision (objectness BCE + responsible-cell box regression
++ class CE) with optax, expressed as one jit over a batch-sharded mesh:
+params replicated, batch split over "batch", XLA inserts the gradient
+all-reduce over ICI (no hand-written collectives — SURVEY.md §5
+"Distributed comm backend").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpu_mot.models.yolo import YoloSpec, build_model
+
+
+def build_targets(spec: YoloSpec, gt_boxes, gt_classes, gt_valid):
+    """Ground truth → per-head dense target tensors (host-side, NumPy ok).
+
+    gt_boxes   : [B, M, 4] (cx, cy, w, h) in input_size pixels
+    gt_classes : [B, M] int
+    gt_valid   : [B, M] bool
+    Returns list over heads of (tgt [B, Hg, Wg, A, 5+C], obj_mask).
+    Assignment: the anchor with closest area at the object's cell.
+    """
+    import numpy as np
+
+    s = spec.input_size
+    out = []
+    b, m = gt_valid.shape
+    for anchors, stride in zip(spec.anchors, spec.strides):
+        hg = wg = s // stride
+        a = len(anchors)
+        tgt = np.zeros((b, hg, wg, a, 5 + spec.num_classes), np.float32)
+        areas = np.asarray([aw * ah for aw, ah in anchors])
+        for bi in range(b):
+            for mi in range(m):
+                if not gt_valid[bi, mi]:
+                    continue
+                cx, cy, w, h = gt_boxes[bi, mi]
+                gx = min(int(cx // stride), wg - 1)
+                gy = min(int(cy // stride), hg - 1)
+                ai = int(np.argmin(np.abs(areas - w * h)))
+                tgt[bi, gy, gx, ai, 0] = cx / stride - gx
+                tgt[bi, gy, gx, ai, 1] = cy / stride - gy
+                tgt[bi, gy, gx, ai, 2] = np.log(max(w, 1.0)
+                                                / anchors[ai][0])
+                tgt[bi, gy, gx, ai, 3] = np.log(max(h, 1.0)
+                                                / anchors[ai][1])
+                tgt[bi, gy, gx, ai, 4] = 1.0
+                tgt[bi, gy, gx, ai, 5 + int(gt_classes[bi, mi])] = 1.0
+        out.append(tgt)
+    return out
+
+
+def yolo_loss(params, batch_stats, images, targets, spec: YoloSpec):
+    """Multi-head YOLO loss; targets from build_targets."""
+    model = build_model(spec)
+    heads = model.apply({"params": params, "batch_stats": batch_stats},
+                        images)
+    total = 0.0
+    for raw, tgt in zip(heads, targets):
+        b, hg, wg, _ = raw.shape
+        a = tgt.shape[3]
+        raw = raw.reshape(b, hg, wg, a, -1)
+        obj_tgt = tgt[..., 4]
+        obj_logit = raw[..., 4]
+        obj_loss = optax.sigmoid_binary_cross_entropy(obj_logit,
+                                                      obj_tgt).mean()
+        mask = obj_tgt[..., None]
+        xy_loss = (jnp.square(jax.nn.sigmoid(raw[..., 0:2]) - tgt[..., 0:2])
+                   * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        wh_loss = (jnp.square(raw[..., 2:4] - tgt[..., 2:4])
+                   * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        cls_logits = raw[..., 5:]
+        cls_tgt = tgt[..., 5:]
+        cls_loss = (optax.softmax_cross_entropy(cls_logits, cls_tgt)
+                    * obj_tgt).sum() / jnp.maximum(obj_tgt.sum(), 1.0)
+        total = total + obj_loss + 5.0 * (xy_loss + wh_loss) + cls_loss
+    return total
+
+
+def make_train_step(spec: YoloSpec, tx: optax.GradientTransformation):
+    """Returns jitted train_step(state, images, targets) → (state, loss).
+
+    state = (params, batch_stats, opt_state).  With images sharded over a
+    "batch" mesh axis and params replicated, the same step is single-chip
+    or multi-chip DP — GSPMD adds the grad all-reduce.
+    """
+    @jax.jit
+    def train_step(state, images, targets):
+        params, batch_stats, opt_state = state
+        loss, grads = jax.value_and_grad(yolo_loss)(
+            params, batch_stats, images, targets, spec)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, batch_stats, opt_state), loss
+
+    return train_step
+
+
+def init_train_state(spec: YoloSpec, tx: optax.GradientTransformation,
+                     seed: int = 0):
+    model = build_model(spec)
+    var = model.init(jax.random.PRNGKey(seed),
+                     jnp.zeros((1, spec.input_size, spec.input_size, 3),
+                               jnp.float32))
+    params = var["params"]
+    batch_stats = var.get("batch_stats", {})
+    return (params, batch_stats, tx.init(params))
