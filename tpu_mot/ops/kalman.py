@@ -56,6 +56,40 @@ def predict(mean: jnp.ndarray, cov: jnp.ndarray, cfg: KalmanConfig
     return new_mean, new_cov
 
 
+def _inv2x2(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched 2x2 inverse [..., 2, 2] (elementwise)."""
+    a = m[..., 0, 0]
+    b = m[..., 0, 1]
+    c = m[..., 1, 0]
+    d = m[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    row0 = jnp.stack([d, -b], axis=-1)
+    row1 = jnp.stack([-c, a], axis=-1)
+    return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
+
+
+def _inv4x4_spd(s: jnp.ndarray) -> jnp.ndarray:
+    """Batched 4x4 inverse of symmetric positive-definite matrices via
+    2x2-block Schur complement — pure VPU elementwise math, no custom
+    calls.  s: [..., 4, 4]."""
+    a = s[..., :2, :2]
+    b = s[..., :2, 2:]
+    c = s[..., 2:, :2]
+    d = s[..., 2:, 2:]
+    ai = _inv2x2(a)
+    aib = ai @ b                                   # [..., 2, 2]
+    schur = d - c @ aib
+    si = _inv2x2(schur)
+    cai = c @ ai
+    top_left = ai + aib @ si @ cai
+    top_right = -aib @ si
+    bot_left = -si @ cai
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([bot_left, si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def correct(mean: jnp.ndarray, cov: jnp.ndarray, z: jnp.ndarray,
             gate: jnp.ndarray, cfg: KalmanConfig
             ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -71,10 +105,11 @@ def correct(mean: jnp.ndarray, cov: jnp.ndarray, z: jnp.ndarray,
     s = (jnp.einsum("ij,tjk,lk->til", h, cov, h)
          + jnp.eye(4, dtype=jnp.float32)[None] * r_diag[:, None, :])
     pht = jnp.einsum("tjk,ik->tji", cov, h)                        # [T, 8, 4]
-    # K = P H^T S^-1  via batched solve of S^T K^T = (P H^T)^T.
-    k = jnp.linalg.solve(
-        jnp.swapaxes(s, 1, 2), jnp.swapaxes(pht, 1, 2))            # [T,4,8]
-    k = jnp.swapaxes(k, 1, 2)                                      # [T,8,4]
+    # K = P H^T S^-1 with a closed-form batched 4x4 inverse: linalg.solve
+    # lowers to a LAPACK-style custom call that costs ~0.13 ms/frame on the
+    # bank (profiled); S is symmetric positive definite, so a 2x2-block
+    # Schur inverse is a handful of VPU elementwise ops instead.
+    k = jnp.einsum("tji,tik->tjk", pht, _inv4x4_spd(s))            # [T,8,4]
     resid = z - jnp.einsum("ij,tj->ti", h, mean)                   # [T, 4]
     new_mean = mean + jnp.einsum("tij,tj->ti", k, resid)
     kh = jnp.einsum("tij,jk->tik", k, h)                           # [T,8,8]
