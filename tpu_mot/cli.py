@@ -1,0 +1,203 @@
+"""Command-line demo drivers — the reference's L5 application layer
+(SURVEY.md §1 L5, §3): sequence/video in → tracks out (MOT-format file,
+annotated video, metrics).
+
+  python -m tpu_mot mot --seq /data/MOT16/train/MOT16-02 --out res.txt
+  python -m tpu_mot mot --synthetic --score
+  python -m tpu_mot otb --seq /data/OTB/Basketball --box 198,214,34,81
+  python -m tpu_mot video --input in.mp4 --weights yolov3-tiny.weights
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--max-tracks", type=int, default=128)
+    p.add_argument("--max-dets", type=int, default=64)
+    p.add_argument("--no-kcf", action="store_true",
+                   help="Kalman+IoU only (detector-driven SORT mode)")
+    p.add_argument("--iou-gate", type=float, default=0.3)
+    p.add_argument("--out", default=None, help="MOT-format results file")
+    p.add_argument("--video-out", default=None, help="annotated video path")
+    p.add_argument("--chunk", type=int, default=32,
+                   help="frames per device call")
+
+
+def _make_cfg(args, h, w):
+    from tpu_mot.config import TrackerConfig
+    return TrackerConfig(max_tracks=args.max_tracks,
+                         max_detections=args.max_dets,
+                         use_kcf=not args.no_kcf, iou_gate=args.iou_gate,
+                         frame_height=h, frame_width=w)
+
+
+def cmd_mot(args) -> int:
+    from tpu_mot.data import mot as mot_data
+    from tpu_mot.data import synthetic
+    from tpu_mot.tracker import scan
+    from tpu_mot.utils import metrics as metrics_mod
+
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        objs = synthetic.make_objects(args.objects, 480, 640, rng)
+        frames, gt_boxes, vis = synthetic.render_sequence(
+            objs, args.frames, 480, 640, seed=args.seed)
+        dets = synthetic.detections_from_gt(gt_boxes, vis, seed=args.seed,
+                                            frame_hw=(480, 640))
+        gt = [(np.where(vis[f])[0], gt_boxes[f, np.where(vis[f])[0]])
+              for f in range(len(frames))]
+    else:
+        img_dir = os.path.join(args.seq, "img1")
+        det_file = os.path.join(args.seq, "det", "det.txt")
+        gt_file = os.path.join(args.seq, "gt", "gt.txt")
+        frames = mot_data.load_image_sequence(img_dir, limit=args.frames)
+        dets = mot_data.load_mot_dets(det_file, score_min=args.det_min)
+        dets = dets[: len(frames)]
+        while len(dets) < len(frames):
+            dets.append(np.zeros((0, 5), np.float32))
+        gt = (mot_data.load_mot_gt(gt_file)[: len(frames)]
+              if os.path.exists(gt_file) else None)
+
+    h, w = frames.shape[1:3]
+    cfg = _make_cfg(args, h, w)
+    t0 = time.perf_counter()
+    _, tracks, _ = scan.track_sequence(frames, dets, cfg, chunk=args.chunk)
+    dt = time.perf_counter() - t0
+    print(f"tracked {len(frames)} frames in {dt:.2f}s "
+          f"({len(frames) / dt:.0f} fps)")
+
+    if args.out:
+        mot_data.write_mot_results(args.out, tracks)
+        print(f"wrote {args.out}")
+    if args.video_out:
+        from tpu_mot.utils.viz import write_video
+        write_video(args.video_out, zip(frames, tracks))
+        print(f"wrote {args.video_out}")
+    if args.score and gt is not None:
+        hyp = [(np.asarray([t[0] for t in tr]),
+                np.asarray([t[1] for t in tr]).reshape(-1, 4))
+               for tr in tracks]
+        m = metrics_mod.clear_mot(gt, hyp)
+        print(json.dumps({k: round(float(v), 4) for k, v in m.items()}))
+    return 0
+
+
+def cmd_otb(args) -> int:
+    from tpu_mot.config import KCFConfig
+    from tpu_mot.data import mot as mot_data
+    from tpu_mot.tracker.kcf_bank import KCFTracker
+
+    frames = mot_data.load_image_sequence(args.seq, limit=args.frames)
+    x, y, w, h = (float(v) for v in args.box.split(","))
+    box = (x + w / 2, y + h / 2, w, h)          # OTB gt is top-left based
+    cfg = KCFConfig(scale_step=args.scale_step)
+    tracker = KCFTracker(cfg)
+    tracker.init(frames[0], box)
+    results = [box]
+    t0 = time.perf_counter()
+    for f in range(1, len(frames)):
+        b, peak = tracker.update(frames[f])
+        results.append(tuple(b))
+    dt = time.perf_counter() - t0
+    print(f"tracked {len(frames) - 1} frames in {dt:.2f}s "
+          f"({(len(frames) - 1) / dt:.0f} fps)")
+    if args.out:
+        with open(args.out, "w") as f:
+            for cx, cy, w, h in results:
+                f.write(f"{cx - w / 2:.2f},{cy - h / 2:.2f},{w:.2f},"
+                        f"{h:.2f}\n")
+        print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_video(args) -> int:
+    from tpu_mot.data.video import read_video, ChunkedVideoPipeline
+    from tpu_mot.models.detector import YoloDetector
+    from tpu_mot.models.yolo import YoloSpec
+    from tpu_mot.tracker import scan, bank as bank_mod
+
+    frames = read_video(args.input, limit=args.frames)
+    if frames.size == 0:
+        print(f"could not read {args.input}", file=sys.stderr)
+        return 1
+    h, w = frames.shape[1:3]
+    spec = YoloSpec(args.model, num_classes=args.classes)
+    if args.weights:
+        det = YoloDetector.from_darknet(spec, args.weights,
+                                        max_out=args.max_dets,
+                                        score_thr=args.det_min)
+    else:
+        print("warning: no --weights; random-initialized detector "
+              "(smoke mode)", file=sys.stderr)
+        det = YoloDetector.random_init(spec, max_out=args.max_dets,
+                                       score_thr=args.det_min)
+    cfg = _make_cfg(args, h, w)
+
+    bank = bank_mod.empty_bank(cfg)
+    all_tracks = []
+    t0 = time.perf_counter()
+    for chunk in ChunkedVideoPipeline(frames, chunk=args.chunk):
+        dets, valid, _ = det.detect(chunk)
+        dets_list = [d[v] for d, v in zip(dets, valid)]
+        bank, tracks, _ = scan.track_sequence(chunk, dets_list, cfg,
+                                              bank=bank)
+        all_tracks.extend(tracks)
+    dt = time.perf_counter() - t0
+    print(f"detect+track {len(frames)} frames in {dt:.2f}s "
+          f"({len(frames) / dt:.0f} fps)")
+    if args.video_out:
+        from tpu_mot.utils.viz import write_video
+        write_video(args.video_out, zip(frames, all_tracks))
+        print(f"wrote {args.video_out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpu_mot", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("mot", help="multi-object tracking on a MOT "
+                                   "sequence or the synthetic fixture")
+    _add_common(p)
+    p.add_argument("--seq", help="MOT sequence dir (img1/, det/det.txt)")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--objects", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--det-min", type=float, default=0.0)
+    p.add_argument("--score", action="store_true",
+                   help="report CLEAR-MOT metrics vs gt")
+    p.set_defaults(fn=cmd_mot)
+
+    p = sub.add_parser("otb", help="single-object KCF on an image sequence")
+    p.add_argument("--seq", required=True, help="image directory")
+    p.add_argument("--box", required=True, help="x,y,w,h first-frame box")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--scale-step", type=float, default=1.0)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_otb)
+
+    p = sub.add_parser("video", help="detect+track a video file")
+    _add_common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--weights", default=None, help="darknet .weights")
+    p.add_argument("--model", default="yolov3-tiny")
+    p.add_argument("--classes", type=int, default=80)
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--det-min", type=float, default=0.3)
+    p.set_defaults(fn=cmd_video)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

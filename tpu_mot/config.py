@@ -36,17 +36,29 @@ class KCFConfig:
     output_sigma_factor: float = 0.125
     # Model EMA learning rate ("interp factor" in the C lineage).
     interp_factor: float = 0.075
-    # Number of feature channels (1 = raw grayscale).
-    channels: int = 1
+    # Feature type: "gray" (raw pixels, 1 channel) or "hog" (fHOG, 31
+    # channels over cell_size x cell_size cells — the KCF-HOG mode of the
+    # reference lineage, arXiv:1404.7584 §8).
+    feature_type: str = "gray"
+    cell_size: int = 1
     # Multi-scale search: scale step (1.0 disables; 1.05 = +-5% pyramid).
     scale_step: float = 1.0
     # Penalty applied to non-unit scale responses (scale hysteresis).
     scale_weight: float = 0.95
 
     @property
+    def feature_size(self) -> int:
+        """Spatial extent of the feature map the FFT runs on."""
+        return self.template_size // self.cell_size
+
+    @property
+    def num_channels(self) -> int:
+        return 31 if self.feature_type == "hog" else 1
+
+    @property
     def spectrum_width(self) -> int:
         """Width of the rfft2 half-spectrum."""
-        return self.template_size // 2 + 1
+        return self.feature_size // 2 + 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from tpu_mot.config import KCFConfig
 from tpu_mot.ops import window as window_ops
 
 
@@ -23,3 +24,14 @@ def raw_gray_features(patches: jnp.ndarray) -> jnp.ndarray:
     hann = window_ops.hann2d(s, s)
     feat = (patches - 0.5) * hann
     return feat[:, None, :, :]
+
+
+def extract_features(patches: jnp.ndarray, cfg: KCFConfig) -> jnp.ndarray:
+    """Patch bank [T, P, P] → cosine-windowed features [T, C, F, F]
+    per cfg.feature_type ("gray": C=1 F=P; "hog": C=31 F=P/cell)."""
+    if cfg.feature_type == "hog":
+        from tpu_mot.ops import hog
+        feat = hog.hog_features(patches, cfg.cell_size)    # [T, 31, F, F]
+        f = feat.shape[-1]
+        return feat * window_ops.hann2d(f, f)[None, None]
+    return raw_gray_features(patches)

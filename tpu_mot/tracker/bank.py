@@ -54,9 +54,9 @@ class TrackBank(NamedTuple):
 
 def empty_bank(cfg: TrackerConfig) -> TrackBank:
     t = cfg.max_tracks
-    s = cfg.kcf.template_size
+    s = cfg.kcf.feature_size
     sf = cfg.kcf.spectrum_width
-    c = cfg.kcf.channels
+    c = cfg.kcf.num_channels
     return TrackBank(
         kf_mean=jnp.zeros((t, 8), jnp.float32),
         kf_cov=jnp.tile(jnp.eye(8, dtype=jnp.float32)[None], (t, 1, 1)),

@@ -35,14 +35,14 @@ def _features_at(frame_gray: jnp.ndarray, boxes: jnp.ndarray,
                  ) -> jnp.ndarray:
     patches = patch_ops.extract_patches_auto(frame_gray, boxes, cfg.padding,
                                              cfg.template_size, scales)
-    return feat_ops.raw_gray_features(patches)
+    return feat_ops.extract_features(patches, cfg)
 
 
 def init_bank(frame_gray: jnp.ndarray, boxes: jnp.ndarray,
               alive: jnp.ndarray, cfg: KCFConfig) -> KCFBank:
     """Train fresh models on every (alive) slot's box."""
     feats = _features_at(frame_gray, boxes, cfg)
-    yf = kcf_ops.make_yf(cfg.template_size, cfg.padding,
+    yf = kcf_ops.make_yf(cfg.feature_size, cfg.padding,
                          cfg.output_sigma_factor)
     model = kcf_ops.train(feats, yf, cfg.kernel_sigma, cfg.lambda_)
     # Zero dead slots so later blends can't leak garbage.
@@ -61,7 +61,7 @@ def detect_bank(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig
     3-level scale pyramid is searched (batched as 3 stacked banks); the
     best scale re-sizes the box, mirroring the C lineage's scale branch.
     """
-    s = cfg.template_size
+    s = cfg.feature_size
 
     def one_scale(scale: float):
         scales = jnp.full((bank.boxes.shape[0],), scale, jnp.float32)
@@ -102,7 +102,7 @@ def train_bank(bank: KCFBank, frame_gray: jnp.ndarray, boxes: jnp.ndarray,
                lr: jnp.ndarray, cfg: KCFConfig) -> KCFBank:
     """EMA-retrain each slot at its (new) box with per-track lr [T]."""
     feats = _features_at(frame_gray, boxes, cfg)
-    yf = kcf_ops.make_yf(cfg.template_size, cfg.padding,
+    yf = kcf_ops.make_yf(cfg.feature_size, cfg.padding,
                          cfg.output_sigma_factor)
     new = kcf_ops.train(feats, yf, cfg.kernel_sigma, cfg.lambda_)
     model = kcf_ops.blend(bank.model, new, lr)

@@ -58,7 +58,7 @@ def _features_at(frame_gray, boxes, cfg: TrackerConfig, levels=None):
         frame_gray, boxes, cfg.kcf.padding, cfg.kcf.template_size,
         impl=cfg.roi_impl, levels=levels,
         frame_hw=(cfg.frame_height, cfg.frame_width))
-    return feat_ops.raw_gray_features(patches)
+    return feat_ops.extract_features(patches, cfg.kcf)
 
 
 def _sample_response(response: jnp.ndarray, centers: jnp.ndarray,
@@ -106,7 +106,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     det_valid : [D] bool for real detections.
     """
     t_cap = cfg.max_tracks
-    s = cfg.kcf.template_size
+    s = cfg.kcf.feature_size
     gray = patch_ops.to_gray(frame)
     # Mip pyramid for the Pallas ROI kernel, built once per frame and
     # shared by the detect- and train-site extractions.
