@@ -1,0 +1,95 @@
+"""Aux subsystem tests: supervisor recovery, profiling utils, fault
+injection (SURVEY.md §5)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_mot.config import TrackerConfig
+from tpu_mot.data import synthetic
+from tpu_mot.tracker.api import pad_detections
+from tpu_mot.utils.profiling import DeviceTimer, FpsMeter
+from tpu_mot.utils.supervisor import StreamSupervisor, output_healthy
+
+
+def _scene(n_frames=12):
+    rng = np.random.default_rng(0)
+    objs = synthetic.make_objects(4, 120, 160, rng)
+    frames, boxes, vis = synthetic.render_sequence(objs, n_frames, 120,
+                                                   160, seed=0)
+    dets = synthetic.detections_from_gt(boxes, vis, seed=0,
+                                        frame_hw=(120, 160))
+    return frames, dets
+
+
+def test_supervisor_normal_flow():
+    frames, dets = _scene()
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=120,
+                        frame_width=160, n_init=1)
+    sup = StreamSupervisor(cfg, snapshot_every=4)
+    for f in range(len(frames)):
+        d, v = pad_detections(dets[f], 8)
+        out = sup.step(frames[f], d, v)
+    assert sup.failures == 0
+    assert int(out.n_alive) == 4
+
+
+def test_supervisor_recovers_from_poisoned_state():
+    frames, dets = _scene()
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=120,
+                        frame_width=160, n_init=1)
+    sup = StreamSupervisor(cfg, snapshot_every=2)
+    for f in range(6):
+        d, v = pad_detections(dets[f], 8)
+        sup.step(frames[f], d, v)
+    # Poison the live bank (simulated corruption / device fault).
+    import jax
+    sup.bank = sup.bank._replace(
+        kf_mean=sup.bank.kf_mean.at[:, 0].set(jnp.nan))
+    d, v = pad_detections(dets[6], 8)
+    out = sup.step(frames[6], d, v)
+    assert sup.failures == 1
+    assert np.isfinite(np.asarray(out.boxes)).all()
+    # Keeps tracking afterwards.
+    for f in range(7, len(frames)):
+        d, v = pad_detections(dets[f], 8)
+        out = sup.step(frames[f], d, v)
+    assert int(out.n_alive) >= 4
+
+
+def test_output_healthy_flags_nans():
+    frames, dets = _scene(2)
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=120,
+                        frame_width=160)
+    sup = StreamSupervisor(cfg)
+    d, v = pad_detections(dets[0], 8)
+    out = sup.step(frames[0], d, v)
+    assert output_healthy(out, (120, 160))
+    bad = out._replace(boxes=out.boxes.at[0, 0].set(jnp.nan))
+    assert not output_healthy(bad, (120, 160))
+
+
+def test_fault_injection_hooks():
+    """detections_from_gt exposes drop/false-positive injection."""
+    rng = np.random.default_rng(1)
+    objs = synthetic.make_objects(6, 120, 160, rng)
+    _, boxes, vis = synthetic.render_sequence(objs, 20, 120, 160, seed=1)
+    clean = synthetic.detections_from_gt(boxes, vis, seed=1,
+                                         frame_hw=(120, 160))
+    faulty = synthetic.detections_from_gt(boxes, vis, seed=1,
+                                          drop_prob=0.5, fp_per_frame=2.0,
+                                          frame_hw=(120, 160))
+    n_clean = sum(len(d) for d in clean)
+    n_faulty_tp = sum(len(d) for d in faulty)
+    assert n_faulty_tp != n_clean
+
+
+def test_device_timer_and_fps_meter():
+    with DeviceTimer() as t:
+        x = jnp.ones((256, 256)) @ jnp.ones((256, 256))
+        t.observe(x)
+    assert t.elapsed > 0
+    m = FpsMeter()
+    for _ in range(5):
+        m.tick(2)
+    assert m.n_frames == 10
+    assert m.stats()["frames"] == 10

@@ -1,0 +1,158 @@
+"""ctypes bindings for the native host runtime (libtpumot.so).
+
+The compute path is JAX/XLA/Pallas on the TPU; the host runtime around it
+is C++ like the reference's (SURVEY.md §2): an exact Hungarian assignment
+solver, a MOT det-file parser, BGR→gray conversion, and an SPSC frame ring
+buffer for decode→device staging.  Built on demand with `make` (g++);
+every entry point has a pure-Python fallback, so the framework works
+without the library.
+
+  from tpu_mot import native
+  native.ensure_built()            # compiles libtpumot.so if missing
+  row_to_col = native.assign(cost, feasible)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libtpumot.so")
+_lib = None
+
+
+def ensure_built(quiet: bool = True) -> bool:
+    """Build libtpumot.so if absent. Returns availability."""
+    global _lib
+    if _lib is not None:
+        return True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _DIR],
+                           capture_output=quiet, check=True)
+        except Exception:
+            return False
+    return _load()
+
+
+def _load() -> bool:
+    global _lib
+    if _lib is not None:
+        return True
+    if not os.path.exists(_LIB_PATH):
+        return False
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.tpumot_assign.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_int32)]
+    lib.tpumot_parse_mot_csv.restype = ctypes.c_int64
+    lib.tpumot_parse_mot_csv.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+    lib.tpumot_bgr_to_gray.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.tpumot_ring_create.restype = ctypes.c_void_p
+    lib.tpumot_ring_create.argtypes = [ctypes.c_int32, ctypes.c_int64]
+    lib.tpumot_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.tpumot_ring_push.restype = ctypes.c_int32
+    lib.tpumot_ring_push.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.tpumot_ring_pop.restype = ctypes.c_int64
+    lib.tpumot_ring_pop.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.tpumot_ring_size.restype = ctypes.c_int32
+    lib.tpumot_ring_size.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return True
+
+
+def available() -> bool:
+    return _lib is not None or _load()
+
+
+_BIG = 1e9
+
+
+def assign(cost: np.ndarray, feasible: np.ndarray) -> np.ndarray:
+    """Exact min-cost assignment (native Hungarian); same interface as
+    ops.assignment.scipy_assign. Falls back to SciPy when unbuilt."""
+    if not available():
+        from tpu_mot.ops.assignment import scipy_assign
+        return scipy_assign(cost, feasible)
+    n, m = cost.shape
+    c = np.where(feasible, cost, _BIG).astype(np.float64, order="C")
+    out = np.empty((n,), np.int32)
+    _lib.tpumot_assign(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, m, _BIG,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def parse_mot_csv(path: str) -> np.ndarray:
+    """det/gt CSV → [rows, 7] float64 (frame, id, x, y, w, h, score).
+    Falls back to numpy.loadtxt when unbuilt."""
+    if not available():
+        raw = np.loadtxt(path, delimiter=",", ndmin=2)
+        out = np.ones((len(raw), 7))
+        out[:, : min(7, raw.shape[1])] = raw[:, :7]
+        return out
+    n = _lib.tpumot_parse_mot_csv(path.encode(), None, 0)
+    if n < 0:
+        raise IOError(f"cannot parse {path}")
+    out = np.empty((n, 7), np.float64)
+    got = _lib.tpumot_parse_mot_csv(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n)
+    return out[:got]
+
+
+def bgr_to_gray(bgr: np.ndarray) -> np.ndarray:
+    """[H, W, 3] uint8 BGR → [H, W] uint8 gray (BT.601 fixed point)."""
+    if not available():
+        b = bgr.astype(np.uint32)
+        return ((77 * b[..., 2] + 150 * b[..., 1] + 29 * b[..., 0]) >> 8
+                ).astype(np.uint8)
+    h, w, _ = bgr.shape
+    src = np.ascontiguousarray(bgr)
+    out = np.empty((h, w), np.uint8)
+    _lib.tpumot_bgr_to_gray(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h * w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+class FrameRing:
+    """SPSC frame ring buffer over the native implementation."""
+
+    def __init__(self, capacity: int, frame_bytes: int):
+        if not available():
+            raise RuntimeError("libtpumot.so not built; call ensure_built()")
+        self._ptr = _lib.tpumot_ring_create(capacity, frame_bytes)
+        self.frame_bytes = frame_bytes
+
+    def push(self, frame: np.ndarray) -> bool:
+        buf = np.ascontiguousarray(frame, dtype=np.uint8)
+        return bool(_lib.tpumot_ring_push(
+            self._ptr, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.nbytes))
+
+    def pop(self, shape, dtype=np.uint8):
+        out = np.empty(shape, dtype)
+        got = _lib.tpumot_ring_pop(
+            self._ptr, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.nbytes)
+        if got == 0:
+            return None
+        return out
+
+    def __len__(self):
+        return int(_lib.tpumot_ring_size(self._ptr))
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            _lib.tpumot_ring_destroy(self._ptr)
+            self._ptr = None
