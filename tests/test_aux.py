@@ -93,3 +93,22 @@ def test_device_timer_and_fps_meter():
         m.tick(2)
     assert m.n_frames == 10
     assert m.stats()["frames"] == 10
+
+
+def test_otb_precision_metric():
+    from tpu_mot.utils.metrics import otb_precision
+    gt = np.array([[100.0, 100, 20, 40]] * 10)
+    pred = gt.copy()
+    pred[5:, 0] += 30  # half the frames off by 30px
+    m = otb_precision(gt, pred, thresholds=(20.0,))
+    assert m["precision@20px"] == 0.5
+    assert m["mean_center_error"] == 15.0
+    assert m["success@0.5"] == 0.5
+
+
+def test_viz_draw_tracks():
+    from tpu_mot.utils.viz import draw_tracks
+    frame = np.zeros((60, 80), np.float32)
+    img = draw_tracks(frame, [(3, (40.0, 30.0, 20.0, 16.0), 0.9)])
+    assert img.shape == (60, 80, 3) and img.dtype == np.uint8
+    assert img.sum() > 0   # something was drawn

@@ -115,6 +115,13 @@ def cmd_otb(args) -> int:
                 f.write(f"{cx - w / 2:.2f},{cy - h / 2:.2f},{w:.2f},"
                         f"{h:.2f}\n")
         print(f"wrote {args.out}")
+    if args.gt:
+        from tpu_mot.utils.metrics import otb_precision
+        gt = np.loadtxt(args.gt, delimiter=",", ndmin=2)[: len(results)]
+        gt_c = gt.copy()
+        gt_c[:, 0] += gt[:, 2] / 2
+        gt_c[:, 1] += gt[:, 3] / 2
+        print(json.dumps(otb_precision(gt_c, np.asarray(results))))
     return 0
 
 
@@ -182,6 +189,8 @@ def main(argv=None) -> int:
     p.add_argument("--box", required=True, help="x,y,w,h first-frame box")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--scale-step", type=float, default=1.0)
+    p.add_argument("--gt", default=None,
+                   help="OTB groundtruth_rect.txt for precision scoring")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_otb)
 

@@ -29,6 +29,25 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / union, 0.0)
 
 
+def otb_precision(gt_boxes, pred_boxes, thresholds=(20.0,)) -> dict:
+    """OTB single-object metrics: center-error precision at pixel
+    thresholds and mean IoU (success proxy) — the published KCF numbers'
+    protocol (arXiv:1404.7584 Table 1, 'mean precision @20px').
+
+    gt_boxes / pred_boxes: [N, 4] (cx, cy, w, h) per frame.
+    """
+    gt = np.asarray(gt_boxes, float)
+    pr = np.asarray(pred_boxes, float)
+    err = np.hypot(gt[:, 0] - pr[:, 0], gt[:, 1] - pr[:, 1])
+    ious = np.diagonal(_iou_matrix(gt, pr))
+    out = {f"precision@{int(t)}px": float((err <= t).mean())
+           for t in thresholds}
+    out["mean_center_error"] = float(err.mean())
+    out["mean_iou"] = float(ious.mean())
+    out["success@0.5"] = float((ious >= 0.5).mean())
+    return out
+
+
 def clear_mot(gt_frames, hyp_frames, iou_thr: float = 0.5) -> dict:
     """Compute CLEAR-MOT + identity metrics.
 
