@@ -112,3 +112,33 @@ def test_viz_draw_tracks():
     img = draw_tracks(frame, [(3, (40.0, 30.0, 20.0, 16.0), 0.9)])
     assert img.shape == (60, 80, 3) and img.dtype == np.uint8
     assert img.sum() > 0   # something was drawn
+
+
+def test_checkpoint_pytree_roundtrip(tmp_path):
+    from tpu_mot.utils import checkpoint as ckpt
+    from tpu_mot.tracker import bank as bank_mod
+    from tpu_mot.config import TrackerConfig
+
+    cfg = TrackerConfig(max_tracks=4, max_detections=4)
+    bank = bank_mod.empty_bank(cfg)
+    bank = bank._replace(next_id=jnp.int32(7),
+                         kf_mean=bank.kf_mean + 3.0)
+    p = str(tmp_path / "bank.npz")
+    ckpt.save_pytree(p, bank)
+    restored = ckpt.load_pytree(p, bank_mod.empty_bank(cfg))
+    import jax
+    for a, b in zip(jax.tree.leaves(bank), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    import pytest
+    from tpu_mot.utils import checkpoint as ckpt
+    if not ckpt._has_orbax():
+        pytest.skip("orbax not available")
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": jnp.int32(3)}
+    p = str(tmp_path / "ck")
+    ckpt.save_pytree(p, tree)
+    restored = ckpt.load_pytree(p, tree)
+    np.testing.assert_array_equal(np.asarray(restored["a"]),
+                                  np.asarray(tree["a"]))
