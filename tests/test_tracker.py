@@ -155,3 +155,52 @@ def test_capacity_overflow_is_graceful():
         ids = [t[0] for t in tracks]
         assert len(ids) == len(set(ids))
         assert len(ids) <= 4
+
+
+def test_scale_adaptive_kcf_in_mot_step():
+    """cfg.kcf.scale_step > 1 exercises the scale branch of the fused
+    step: an object whose size changes during a detector outage keeps a
+    higher IoU with scale search than without."""
+    from tpu_mot.config import KCFConfig
+    import numpy as np
+
+    # Growing object: render at increasing size by scaling the fixture.
+    n = 36
+    frames = np.zeros((n, 240, 320), np.float32)
+    gt = np.zeros((n, 1, 4), np.float32)
+    rng = np.random.default_rng(0)
+    tex = rng.random((64, 64)).astype(np.float32)
+    import cv2
+    for f in range(n):
+        # Constant size while detections exist (KF size-velocity learns
+        # zero), then growth begins — only the KCF scale search can
+        # follow it.
+        s = 24.0 if f < 6 else 24 + (f - 6) * 1.2
+        img = rng.random((240, 320)).astype(np.float32) * 0.1
+        patch = cv2.resize(tex, (int(s), int(s)))
+        cx, cy = 160 + f * 1.5, 120
+        y0, x0 = int(cy - s / 2), int(cx - s / 2)
+        img[y0:y0 + int(s), x0:x0 + int(s)] = patch
+        frames[f] = img
+        gt[f, 0] = (cx, cy, s, s)
+    dets = [np.concatenate([gt[f], np.ones((1, 1), np.float32)], 1)
+            if f < 6 else np.zeros((0, 5), np.float32) for f in range(n)]
+
+    def run(scale_step):
+        cfg = TrackerConfig(
+            frame_height=240, frame_width=320, n_init=2, min_psr=0.1,
+            kcf=KCFConfig(scale_step=scale_step))
+        hyp, _ = _run_ours(frames, dets, cfg)
+        ious = []
+        for f in range(10, n):
+            ids, boxes = hyp[f]
+            if len(ids) == 0:
+                ious.append(0.0)
+                continue
+            import oracles
+            ious.append(max(oracles.iou_xywh(b, gt[f, 0]) for b in boxes))
+        return np.mean(ious)
+
+    iou_scale = run(1.05)
+    iou_fixed = run(1.0)
+    assert iou_scale > iou_fixed + 0.05, (iou_scale, iou_fixed)

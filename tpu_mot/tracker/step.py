@@ -53,10 +53,11 @@ class StepOutput(NamedTuple):
     n_matches: jnp.ndarray    # [] int32
 
 
-def _features_at(frame_gray, boxes, cfg: TrackerConfig, levels=None):
+def _features_at(frame_gray, boxes, cfg: TrackerConfig, levels=None,
+                 scales=None):
     patches = patch_ops.extract_patches_auto(
         frame_gray, boxes, cfg.kcf.padding, cfg.kcf.template_size,
-        impl=cfg.roi_impl, levels=levels,
+        scales=scales, impl=cfg.roi_impl, levels=levels,
         frame_hw=(cfg.frame_height, cfg.frame_width))
     return feat_ops.extract_features(patches, cfg.kcf)
 
@@ -129,10 +130,40 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
 
     # ---- 2. KCF detect at predicted ROIs -----------------------------
     if cfg.use_kcf:
-        feats = _features_at(gray, pred_boxes, cfg, levels)
-        response = kcf_ops.detect(bank.kcf, feats, cfg.kcf.kernel_sigma)
-        dy, dx, peak = kcf_ops.peak_displacement(response)
-        win = pred_boxes[:, 2:4] * cfg.kcf.padding               # [T, 2]
+        if cfg.kcf.scale_step == 1.0:
+            feats = _features_at(gray, pred_boxes, cfg, levels)
+            response = kcf_ops.detect(bank.kcf, feats,
+                                      cfg.kcf.kernel_sigma)
+            dy, dx, peak = kcf_ops.peak_displacement(response)
+            best_scale = jnp.ones((t_cap,), jnp.float32)
+        else:
+            # 3-level scale pyramid (the C lineage's scale branch): run
+            # the correlation at 1/step, 1, step and keep the best
+            # (hysteresis-weighted) peak per track.
+            sstep = cfg.kcf.scale_step
+            results = []
+            for sc in (1.0 / sstep, 1.0, sstep):
+                sc_arr = jnp.full((t_cap,), sc, jnp.float32)
+                f_sc = _features_at(gray, pred_boxes, cfg, levels,
+                                    scales=sc_arr)
+                r_sc = kcf_ops.detect(bank.kcf, f_sc,
+                                      cfg.kcf.kernel_sigma)
+                results.append(kcf_ops.peak_displacement(r_sc))
+                if sc == 1.0:
+                    response = r_sc
+            dys = jnp.stack([r[0] for r in results])             # [3, T]
+            dxs = jnp.stack([r[1] for r in results])
+            peaks = jnp.stack([r[2] for r in results])
+            wts = jnp.asarray([cfg.kcf.scale_weight, 1.0,
+                               cfg.kcf.scale_weight],
+                              jnp.float32)[:, None]
+            best = jnp.argmax(peaks * wts, axis=0)               # [T]
+            take = lambda a: jnp.take_along_axis(a, best[None], axis=0)[0]
+            dy, dx, peak = take(dys), take(dxs), take(peaks)
+            best_scale = jnp.asarray([1.0 / sstep, 1.0, sstep],
+                                     jnp.float32)[best]
+        win = (pred_boxes[:, 2:4] * best_scale[:, None]
+               * cfg.kcf.padding)                                # [T, 2]
         kcf_cxy = pred_boxes[:, :2] + jnp.stack(
             [dx, dy], axis=1) * win / s
         # Trust the correlation only for live slots with a solid peak and
@@ -142,9 +173,9 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         in_frame = ((pred_boxes[:, 0] > 0) & (pred_boxes[:, 0] < w_f)
                     & (pred_boxes[:, 1] > 0) & (pred_boxes[:, 1] < h_f))
         kcf_ok = alive & in_frame & (peak >= cfg.min_psr)
+        kcf_wh = pred_boxes[:, 2:4] * best_scale[:, None]
         refined = jnp.where(kcf_ok[:, None],
-                            jnp.concatenate([kcf_cxy, pred_boxes[:, 2:4]],
-                                            axis=1),
+                            jnp.concatenate([kcf_cxy, kcf_wh], axis=1),
                             pred_boxes)
     else:
         response = None
