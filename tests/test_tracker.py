@@ -204,3 +204,35 @@ def test_scale_adaptive_kcf_in_mot_step():
     iou_scale = run(1.05)
     iou_fixed = run(1.0)
     assert iou_scale > iou_fixed + 0.05, (iou_scale, iou_fixed)
+
+
+def test_functional_api_aliases():
+    """mot_init / mot_update — the reference's public names."""
+    import jax.numpy as jnp
+    from tpu_mot import tracker as T
+
+    frames, dets, _ = _make_scene(n_obj=3, n_frames=3, seed=9)
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=240,
+                        frame_width=320, n_init=1)
+    from tpu_mot.tracker.api import pad_detections
+    d, v = pad_detections(dets[0], 8)
+    bank, out = T.mot_init(jnp.asarray(frames[0]), jnp.asarray(d),
+                           jnp.asarray(v), cfg)
+    d, v = pad_detections(dets[1], 8)
+    bank, out = T.mot_update(bank, jnp.asarray(frames[1]), jnp.asarray(d),
+                             jnp.asarray(v), cfg)
+    assert int(out.n_alive) == 3
+
+
+def test_init_with_no_detections_and_empty_updates():
+    """Degenerate flows: empty init, empty updates, then late arrivals."""
+    frames, dets, _ = _make_scene(n_obj=3, n_frames=6, seed=10)
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=240,
+                        frame_width=320, n_init=1)
+    mt = MultiTracker(cfg)
+    assert mt.init(frames[0], np.zeros((0, 5), np.float32)) == []
+    assert mt.update(frames[1]) == []
+    tracks = mt.update(frames[2], dets[2])
+    assert tracks == []                    # births start tentative
+    tracks = mt.update(frames[3], dets[3])
+    assert len(tracks) == 3                # confirmed on the next match

@@ -12,7 +12,6 @@ specialize its C code at compile time (SURVEY.md §5 "Config / flag system").
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,13 +10,10 @@ already padded to the tracker's static detection capacity.
 from __future__ import annotations
 
 import functools
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_mot.models import yolo as yolo_mod
 from tpu_mot.models.yolo import YoloSpec, build_model, decode_head
 from tpu_mot.ops.nms import nms_classwise
 

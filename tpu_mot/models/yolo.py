@@ -21,7 +21,6 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
-import numpy as np
 
 # Canonical anchor sets (pixels at the native 416x416 input), public YOLO
 # releases.

@@ -11,8 +11,6 @@ all-reduce over ICI (no hand-written collectives — SURVEY.md §5
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import optax
