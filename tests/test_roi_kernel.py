@@ -9,17 +9,22 @@ from tpu_mot.ops import patch as patch_ops
 
 def test_level0_exact_parity():
     """Windows <= MAX_WIN px sample level 0 — bit-comparable to the XLA
-    bilinear path."""
+    bilinear path at float32; within bf16 quantization at the production
+    pyramid dtype."""
     rng = np.random.default_rng(0)
     frame = rng.random((240, 320)).astype(np.float32)
     boxes = np.array([[70.0, 50.0, 20.0, 26.0],
                       [150.0, 120.0, 40.0, 30.0],
                       [10.0, 230.0, 30.0, 24.0]], np.float32)  # edge clamp
-    got = np.asarray(roi.extract_patches_pallas(
-        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64, interpret=True))
     want = np.asarray(patch_ops.extract_patches(
         jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    got32 = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64, interpret=True,
+        dtype=jnp.float32))
+    np.testing.assert_allclose(got32, want, rtol=1e-5, atol=1e-5)
+    got16 = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64, interpret=True))
+    np.testing.assert_allclose(got16, want, atol=6e-3)
 
 
 def test_higher_level_approximates_fullres():
@@ -55,10 +60,13 @@ def test_pyramid_shapes_and_content():
     frame = rng.random((1080, 1920)).astype(np.float32)
     levels = roi.build_pyramid(jnp.asarray(frame))
     assert len(levels) == roi.N_LEVELS
-    # Level 1 equals 2x average pooling of the frame.
-    l1 = np.asarray(levels[1])[:540, :960]
+    # Level 1 equals 2x average pooling of the frame (bf16 storage).
+    l1 = np.asarray(levels[1].astype(jnp.float32))[:540, :960]
     want = frame.reshape(540, 2, 960, 2).mean(axis=(1, 3))
-    np.testing.assert_allclose(l1, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(l1, want, atol=4e-3)
+    l1_exact = np.asarray(roi.build_pyramid(
+        jnp.asarray(frame), dtype=jnp.float32)[1])[:540, :960]
+    np.testing.assert_allclose(l1_exact, want, rtol=1e-5, atol=1e-5)
     # Alignment padding present.
     for lv, arr in enumerate(levels):
         assert arr.shape[0] % 8 == 0 and arr.shape[1] % 128 == 0

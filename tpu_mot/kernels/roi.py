@@ -31,9 +31,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N_LEVELS = 4
-BLK_ROWS = 160      # window rows per DMA block (multiple of 8)
+BLK_ROWS = 144      # window rows per DMA block (multiple of 8; window
+                    # <= 128 + alignment slack 8 + bilinear +1 => 137)
 BLK_COLS = 256      # window cols per DMA block (multiple of 128)
 MAX_WIN = 128.0     # level chosen so the window is <= this many px
+# Pyramid storage dtype: the ROI DMAs are bandwidth-bound (~40 MB/frame at
+# 128 tracks in f32); bfloat16 halves the traffic at ~0.4% pixel
+# quantization — the same error class as the DEFAULT-precision resample
+# dots. Pass dtype=float32 for exact parity runs.
+PYRAMID_DTYPE = jnp.bfloat16
 
 
 def _ceil_mult(x: int, m: int) -> int:
@@ -53,12 +59,14 @@ def _level_shapes(h: int, w: int):
     return tuple(shapes)
 
 
-def build_pyramid(gray: jnp.ndarray):
-    """[H, W] float32 → list of N_LEVELS padded level images.
+def build_pyramid(gray: jnp.ndarray, dtype=None):
+    """[H, W] float32 → list of N_LEVELS padded level images (dtype
+    PYRAMID_DTYPE by default; see note above).
 
     Level k is a 2^k x 2^k average pool; padding replicates nothing (zeros)
     — samplers never index past the true extent.
     """
+    dtype = dtype or PYRAMID_DTYPE
     h, w = gray.shape
     shapes = _level_shapes(h, w)
     levels = []
@@ -66,7 +74,8 @@ def build_pyramid(gray: jnp.ndarray):
     for lv in range(N_LEVELS):
         ch, cw = cur.shape
         ph, pw = shapes[lv]
-        levels.append(jnp.pad(cur, ((0, ph - ch), (0, pw - cw))))
+        levels.append(jnp.pad(cur, ((0, ph - ch),
+                                    (0, pw - cw))).astype(dtype))
         if lv + 1 < N_LEVELS:
             # 2x2 average pool via reduce_window — one fused pass; the
             # reshape-mean formulation costs ~2 ms/frame at 1080p in
@@ -136,7 +145,8 @@ def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
         xs = xs_ref[t, :] - c0f                       # [S] block-local cols
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_iota))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - col_iota))
-        tmp = jnp.dot(wy, scratch[slot], preferred_element_type=jnp.float32,
+        tmp = jnp.dot(wy, scratch[slot].astype(jnp.float32),
+                      preferred_element_type=jnp.float32,
                       precision=_DOT_PRECISION)
         out = jax.lax.dot_general(tmp, wx, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32,
@@ -164,7 +174,8 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
                            padding: float, size: int,
                            scales: jnp.ndarray | None = None,
                            interpret: bool = False,
-                           levels=None, frame_hw=None) -> jnp.ndarray:
+                           levels=None, frame_hw=None,
+                           dtype=None) -> jnp.ndarray:
     """Pallas ROI extraction: [H, W] frame + [T, 4] boxes → [T, S, S].
 
     Equivalent to ops.patch.extract_patches up to the mip-level resampling
@@ -178,7 +189,7 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
     t_cap = boxes.shape[0]
     if levels is None:
         h, w = gray.shape
-        levels = build_pyramid(gray)
+        levels = build_pyramid(gray, dtype=dtype)
     else:
         h, w = frame_hw
     shapes = _level_shapes(h, w)
@@ -228,7 +239,7 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
                                lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, BLK_ROWS, BLK_COLS), jnp.float32),
+            pltpu.VMEM((2, BLK_ROWS, BLK_COLS), levels[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
