@@ -143,3 +143,27 @@ def test_patch_extraction_matches_oracle():
     for i, b in enumerate(boxes):
         want = oracle.get_patch(frame, b)
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+
+def test_psr_confidence():
+    """PSR is high for a trained in-place match, low on an unrelated
+    patch — sharper discrimination than the raw peak."""
+    rng = np.random.default_rng(6)
+    s = 64
+    x = rng.standard_normal((1, s, s)).astype(np.float32) * 0.2
+    hann = jnp.asarray(oracles.hann2d(s, s))
+    fx = ((jnp.asarray(x) - 0.5) * hann)[:, None]
+    yf = kcf_ops.make_yf(s, 2.5, 0.125)
+    model = kcf_ops.train(fx, yf, 0.2, 1e-4)
+
+    resp_same = kcf_ops.detect(model, fx, 0.2)
+    other = rng.standard_normal((1, s, s)).astype(np.float32) * 0.2
+    fo = ((jnp.asarray(other) - 0.5) * hann)[:, None]
+    resp_other = kcf_ops.detect(model, fo, 0.2)
+
+    _, _, pk_same = kcf_ops.peak_displacement(resp_same)
+    _, _, pk_other = kcf_ops.peak_displacement(resp_other)
+    psr_same = float(kcf_ops.psr(resp_same, pk_same)[0])
+    psr_other = float(kcf_ops.psr(resp_other, pk_other)[0])
+    assert psr_same > 20.0, psr_same
+    assert psr_other < psr_same / 3, (psr_same, psr_other)

@@ -236,3 +236,24 @@ def test_init_with_no_detections_and_empty_updates():
     assert tracks == []                    # births start tentative
     tracks = mt.update(frames[3], dets[3])
     assert len(tracks) == 3                # confirmed on the next match
+
+
+def test_output_max_tsu_gates_coasting_tracks():
+    """output_max_tsu=0 emits only tracks matched THIS frame (SORT
+    convention); coasting confirmed tracks are suppressed from output but
+    stay alive for re-association."""
+    frames, dets, _ = _make_scene(n_obj=4, n_frames=14, seed=11)
+    for f in range(6, 10):
+        dets[f] = np.zeros((0, 5), np.float32)
+    cfg = TrackerConfig(frame_height=240, frame_width=320, n_init=1,
+                        use_kcf=False, output_max_tsu=0)
+    mt = MultiTracker(cfg)
+    mt.init(frames[0], dets[0])
+    for f in range(1, 6):
+        tracks = mt.update(frames[f], dets[f])
+    assert len(tracks) == 4
+    tracks = mt.update(frames[6], dets[6])     # outage: nothing emitted
+    assert tracks == []
+    for f in range(7, 14):
+        tracks = mt.update(frames[f], dets[f])
+    assert len(tracks) == 4                    # same tracks re-emitted

@@ -99,8 +99,11 @@ class TrackerConfig:
 
     # KCF integration: run correlation detect to refine predicted boxes.
     use_kcf: bool = True
-    # Minimum KCF peak response to trust the correlation update.
+    # Minimum KCF confidence to trust the correlation update; interpreted
+    # per confidence_mode: "peak" (raw max response) or "psr"
+    # (peak-to-sidelobe ratio, the MOSSE/KCF-lineage measure).
     min_psr: float = 0.0
+    confidence_mode: str = "peak"
     # Detection confidence floor.
     det_score_min: float = 0.0
 
@@ -111,6 +114,11 @@ class TrackerConfig:
     # ROI extraction implementation: "auto" | "pallas" | "xla"
     # (kernels/roi.py vs ops/patch.py; auto = pallas on TPU).
     roi_impl: str = "auto"
+
+    # Emit only confirmed tracks seen (matched) within this many frames
+    # (SORT emits time_since_update < 1; large value = emit all confirmed
+    # including coasting tracks, the KCF-pipeline default).
+    output_max_tsu: int = 10 ** 6
 
     def replace(self, **kw) -> "TrackerConfig":
         return dataclasses.replace(self, **kw)

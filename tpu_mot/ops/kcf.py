@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from tpu_mot.ops import cfloat
@@ -157,6 +158,31 @@ def peak_displacement(response: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     dy = py.astype(jnp.float32) + subpixel(py, ly, ry) - (s // 2)
     dx = px.astype(jnp.float32) + subpixel(px, lx, rx) - (s // 2)
     return dy, dx, peak
+
+
+def psr(response: jnp.ndarray, peak: jnp.ndarray,
+        exclude: int = 5) -> jnp.ndarray:
+    """Peak-to-sidelobe ratio — the correlation-filter confidence measure
+    of the reference lineage (MOSSE/KCF practice): (peak - mean_sidelobe)
+    / std_sidelobe, with an exclusion window around the peak.
+
+    response : [T, S, S]; peak : [T] (max response values).
+    Returns [T] PSR; higher = sharper, more trustworthy peak.
+    """
+    t, sz, _ = response.shape
+    flat = response.reshape(t, sz * sz)
+    idx = jnp.argmax(flat, axis=1)
+    py = (idx // sz).astype(jnp.float32)
+    px = (idx % sz).astype(jnp.float32)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (sz, sz), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (sz, sz), 1)
+    side = ((jnp.abs(yy[None] - py[:, None, None]) > exclude)
+            | (jnp.abs(xx[None] - px[:, None, None]) > exclude))
+    n = jnp.maximum(jnp.sum(side, axis=(1, 2)), 1.0)
+    mean = jnp.sum(jnp.where(side, response, 0.0), axis=(1, 2)) / n
+    var = jnp.sum(jnp.where(side, (response - mean[:, None, None]) ** 2,
+                            0.0), axis=(1, 2)) / n
+    return (peak - mean) / jnp.sqrt(var + 1e-8)
 
 
 def make_yf(size: int, padding: float, output_sigma_factor: float,

@@ -136,6 +136,8 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
                                       cfg.kcf.kernel_sigma)
             dy, dx, peak = kcf_ops.peak_displacement(response)
             best_scale = jnp.ones((t_cap,), jnp.float32)
+            if cfg.confidence_mode == "psr":
+                peak = kcf_ops.psr(response, peak)
         else:
             # 3-level scale pyramid (the C lineage's scale branch): run
             # the correlation at 1/step, 1, step and keep the best
@@ -162,6 +164,11 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             dy, dx, peak = take(dys), take(dxs), take(peaks)
             best_scale = jnp.asarray([1.0 / sstep, 1.0, sstep],
                                      jnp.float32)[best]
+            if cfg.confidence_mode == "psr":
+                # PSR from the unit-scale response (scale selection itself
+                # uses raw hysteresis-weighted peaks).
+                peak = kcf_ops.psr(response, jnp.max(
+                    response.reshape(t_cap, -1), axis=1))
         win = (pred_boxes[:, 2:4] * best_scale[:, None]
                * cfg.kcf.padding)                                # [T, 2]
         kcf_cxy = pred_boxes[:, :2] + jnp.stack(
@@ -290,7 +297,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         ids=ids,
         boxes=kf_mean[:, :4],
         scores=score,
-        valid=(state == CONFIRMED),
+        valid=((state == CONFIRMED) & (tsu <= cfg.output_max_tsu)),
         matched_det=matched_det,
         n_alive=jnp.sum((state > EMPTY).astype(jnp.int32)),
         n_births=n_births,
