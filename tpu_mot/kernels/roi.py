@@ -87,7 +87,7 @@ def build_pyramid(gray: jnp.ndarray, dtype=None):
 
 # Tracks resampled per grid program; window DMAs are double-buffered so
 # track k+1's HBM→VMEM copy overlaps track k's MXU resample.
-TRACKS_PER_PROG = 8
+TRACKS_PER_PROG = 16
 # Resample matmul precision. Mosaic supports DEFAULT (1 bf16 pass) and
 # HIGHEST (6 passes) only; DEFAULT quantizes [0,1] pixel data to ~0.4%
 # (bf16 mantissa), far below detector jitter and sensor noise, and halves
