@@ -257,3 +257,38 @@ def test_output_max_tsu_gates_coasting_tracks():
     for f in range(7, 14):
         tracks = mt.update(frames[f], dets[f])
     assert len(tracks) == 4                    # same tracks re-emitted
+
+
+def test_long_sequence_stability():
+    """500 frames with churn (objects appearing/disappearing): slot
+    recycling keeps working, IDs stay unique and monotone, state stays
+    finite — the soak test for the fixed-capacity bank."""
+    import jax.numpy as jnp
+    from tpu_mot.tracker import scan
+
+    rng = np.random.default_rng(12)
+    objs = synthetic.make_objects(10, 160, 240, rng, max_speed=2.5,
+                                  lifespan=(0, 200))
+    for i, o in enumerate(objs):
+        o.vanish = o.appear + 150 + 20 * (i % 4)   # staggered churn
+    frames, boxes, vis = synthetic.render_sequence(objs, 500, 160, 240,
+                                                   seed=12)
+    dets = synthetic.detections_from_gt(boxes, vis, seed=12,
+                                        frame_hw=(160, 240))
+    cfg = TrackerConfig(max_tracks=16, max_detections=16, n_init=2,
+                        max_age=10, frame_height=160, frame_width=240,
+                        roi_impl="xla")
+    bank, tracks, out = scan.track_sequence(frames, dets, cfg, chunk=100)
+    assert np.isfinite(np.asarray(bank.kf_mean)).all()
+    assert np.isfinite(out.boxes[out.valid]).all()
+    # IDs unique within every frame; next_id monotone and bounded by the
+    # number of real birth events (no runaway ID churn).
+    for f in range(500):
+        ids = out.ids[f][out.valid[f]]
+        assert len(set(ids.tolist())) == len(ids)
+    assert int(bank.next_id) < 300, int(bank.next_id)
+    # Full lifecycle arc: busy mid-sequence, graceful wind-down to an
+    # empty bank after every object has left the scene.
+    assert int(out.n_alive[150]) >= 6
+    assert int(out.n_alive[-1]) == 0
+    assert (np.asarray(bank.state) == 0).all()
