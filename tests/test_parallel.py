@@ -123,8 +123,50 @@ def test_dp_train_step_matches_single_device(ndev):
                                atol=1e-6)
 
 
+def test_shared_detector_batch_equals_dp(ndev):
+    """configs[4] collective path: all-gather frames → one batched YOLO →
+    scatter dets must equal the zero-collective per-shard DP detector."""
+    serve.dryrun_shared_detector(ndev)
+
+
 def test_graft_entry_dryrun(ndev):
     import __graft_entry__ as ge
     fn, args = ge.entry()
     jax.jit(fn).lower(*args)        # compile-check single chip
     ge.dryrun_multichip(ndev)
+
+
+def test_graft_entry_dryrun_self_provisions():
+    """Reproduce the DRIVER's invocation: a parent process that sees only
+    ONE jax device (the real-TPU situation of MULTICHIP_r01's rc=1 failure)
+    calls dryrun_multichip(8); it must self-provision an 8-virtual-CPU-
+    device child and pass.  Runs conftest-free in a clean subprocess."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("TPU_MOT_DRYRUN_CHILD", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   env.get("XLA_FLAGS", ""))
+    env["XLA_FLAGS"] = (flags +
+                        " --xla_force_host_platform_device_count=1").strip()
+    code = "\n".join([
+        "import sys",
+        f"sys.path.insert(0, {repo!r})",
+        "import jax",
+        "jax.config.update('jax_platforms', 'cpu')",
+        "assert len(jax.devices()) == 1, jax.devices()",
+        "import __graft_entry__",
+        "__graft_entry__.dryrun_multichip(8)",
+        "print('driver-style dryrun: ok')",
+    ])
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr}")
+    assert "driver-style dryrun: ok" in proc.stdout

@@ -65,13 +65,98 @@ def multi_stream_sequence(banks, frames, dets, det_valid,
 
 def detect_then_track_step(detector_params, banks, frames, cfg,
                            detect_fn):
-    """The fused detect→track serving step with a shared detector batch.
+    """The fused detect→track serving step, per-shard-DP detector mode.
 
     detect_fn(params, frames) → (dets [N, D, 5], valid [N, D]); typically
     models.detector.detect_batch closed over the spec.  frames arrive
     stream-sharded; the detector forward is data-parallel over the same
     axis (one batched conv program — XLA keeps it local per shard), then
-    each shard's tracker consumes its own detections.
+    each shard's tracker consumes its own detections.  Zero collectives.
     """
     dets, valid, _ = detect_fn(detector_params, frames)
     return multi_stream_step(banks, frames, dets, valid, cfg)
+
+
+def shared_detector_detect(detector_params, frames, mesh: Mesh,
+                           detect_fn):
+    """The shared-detector batch of BASELINE configs[4] / SURVEY §3.5:
+
+        all-gather frames  →  ONE batched YOLO forward  →  scatter dets
+
+    expressed as shard_map over the "stream" mesh: each shard all-gathers
+    every stream's frames over ICI, runs the full-batch detector forward,
+    and keeps only its own streams' detections (the scatter is a local
+    slice — the data is already resident after the gather).  This is the
+    mode to use when the detector runs strided or frames must be batched
+    for MXU utilization regardless of which chip owns the stream; the
+    per-shard-DP mode (detect_then_track_step) is the zero-collective
+    alternative.  Numerically identical to the DP mode — asserted in
+    tests/test_parallel.py on the 8-virtual-CPU mesh.
+
+    detect_fn(params, frames[B,H,W(,3)]) → (dets [B,D,5], valid [B,D], _).
+    Returns (dets, valid) stream-sharded like `frames`.
+    """
+    def shard_fn(params, frames_local):
+        k = frames_local.shape[0]             # streams per shard (static)
+        all_frames = jax.lax.all_gather(frames_local, "stream", axis=0,
+                                        tiled=True)
+        dets, valid, _ = detect_fn(params, all_frames)
+        i = jax.lax.axis_index("stream")
+        my_dets = jax.lax.dynamic_slice_in_dim(dets, i * k, k, 0)
+        my_valid = jax.lax.dynamic_slice_in_dim(valid, i * k, k, 0)
+        return my_dets, my_valid
+
+    # check_vma=False: the NMS while_loop seeds its carry with invariant
+    # constants that turn device-varying inside the loop body, which the
+    # varying-manual-axes analysis rejects; the computation after the
+    # all_gather is replicated by construction, so the check is moot here
+    # (and the DP-equality test guards the semantics).
+    return jax.shard_map(shard_fn, mesh=mesh,
+                         in_specs=(P(), P("stream")),
+                         out_specs=(P("stream"), P("stream")),
+                         check_vma=False)(
+        detector_params, frames)
+
+
+def detect_then_track_step_shared(detector_params, banks, frames, cfg,
+                                  mesh: Mesh, detect_fn):
+    """Fused serving step with the shared (all-gathered) detector batch."""
+    dets, valid = shared_detector_detect(detector_params, frames, mesh,
+                                         detect_fn)
+    return multi_stream_step(banks, frames, dets, valid, cfg)
+
+
+def dryrun_shared_detector(n_devices: int) -> None:
+    """Exercise the configs[4] collective path on tiny shapes; raises on
+    divergence from the zero-collective DP mode.  Called from
+    __graft_entry__.dryrun_multichip (driver contract)."""
+    import numpy as np
+    from tpu_mot.models.detector import YoloDetector, detect_batch
+    from tpu_mot.models.yolo import YoloSpec, YOLOV2_TINY_ANCHORS
+    from tpu_mot.parallel import mesh as mesh_mod
+
+    spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=64,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    det = YoloDetector.random_init(spec, seed=0, max_out=8, score_thr=0.0)
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=64,
+                        frame_width=96, roi_impl="xla")
+    m = mesh_mod.stream_mesh(n_devices)
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.random((n_devices, 64, 96)).astype(np.float32))
+    frames = jax.device_put(frames, NamedSharding(m, P("stream")))
+
+    def detect_fn(params, fr):
+        return detect_batch(params, fr, spec, (64, 96), 8, 0.45, 0.0)
+
+    banks = make_stream_banks(n_devices, cfg, m)
+    banks_s, outs_s = detect_then_track_step_shared(
+        det.params, banks, frames, cfg, m, detect_fn)
+    jax.block_until_ready(outs_s.boxes)
+
+    banks_d = make_stream_banks(n_devices, cfg, m)
+    banks_d, outs_d = detect_then_track_step(det.params, banks_d, frames,
+                                             cfg, detect_fn)
+    import numpy.testing as npt
+    npt.assert_allclose(np.asarray(outs_s.boxes), np.asarray(outs_d.boxes),
+                        rtol=1e-5, atol=1e-4)
+    npt.assert_array_equal(np.asarray(outs_s.ids), np.asarray(outs_d.ids))
