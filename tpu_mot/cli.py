@@ -46,6 +46,10 @@ def cmd_mot(args) -> int:
     from tpu_mot.utils import metrics as metrics_mod
 
     if args.synthetic:
+        # --frames means "all" for file sequences, but the synthetic
+        # fixture has no natural length — default it.
+        if args.frames is None:
+            args.frames = 100
         rng = np.random.default_rng(args.seed)
         objs = synthetic.make_objects(args.objects, 480, 640, rng)
         frames, gt_boxes, vis = synthetic.render_sequence(

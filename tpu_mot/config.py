@@ -45,6 +45,23 @@ class KCFConfig:
     # Penalty applied to non-unit scale responses (scale hysteresis).
     scale_weight: float = 0.95
 
+    def __post_init__(self):
+        if self.template_size % self.cell_size != 0:
+            raise ValueError(
+                f"template_size ({self.template_size}) must be a multiple "
+                f"of cell_size ({self.cell_size})")
+        if self.template_size // self.cell_size < 2:
+            raise ValueError(
+                "feature_size (template_size // cell_size = "
+                f"{self.template_size // self.cell_size}) must be >= 2 — a "
+                "1-pixel feature map degenerates the Hann window and FFT")
+        if self.feature_type not in ("gray", "hog"):
+            raise ValueError(f"unknown feature_type {self.feature_type!r}")
+        if self.padding <= 0:
+            raise ValueError("padding must be positive")
+        if self.scale_step < 1.0:
+            raise ValueError("scale_step must be >= 1.0 (1.0 disables)")
+
     @property
     def feature_size(self) -> int:
         """Spatial extent of the feature map the FFT runs on."""
@@ -68,8 +85,7 @@ class KalmanConfig:
     "kalman"); noise scales follow the SORT lineage.
     """
 
-    pos_std_factor: float = 1.0 / 20.0   # measurement/process std ~ box size
-    vel_std_factor: float = 1.0 / 160.0
+    pos_std_factor: float = 1.0 / 20.0   # measurement std ~ box size
     init_vel_cov: float = 1e4            # uninformative velocity prior
     process_pos_std: float = 1.0 / 20.0
     process_vel_std: float = 1.0 / 160.0
@@ -119,6 +135,21 @@ class TrackerConfig:
     # (SORT emits time_since_update < 1; large value = emit all confirmed
     # including coasting tracks, the KCF-pipeline default).
     output_max_tsu: int = 10 ** 6
+
+    def __post_init__(self):
+        if self.confidence_mode not in ("peak", "psr"):
+            raise ValueError(
+                f"unknown confidence_mode {self.confidence_mode!r}")
+        if self.roi_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown roi_impl {self.roi_impl!r}")
+        if self.max_tracks < 1 or self.max_detections < 1:
+            raise ValueError("max_tracks and max_detections must be >= 1")
+        if self.frame_height < 1 or self.frame_width < 1:
+            raise ValueError("frame dimensions must be positive")
+        # The Pallas ROI kernel reads through a mip pyramid whose deepest
+        # level caps the search window it can cover (kernels/roi.py
+        # N_LEVELS/MAX_WIN: 128 * 2**3 = 1024 px); larger windows clamp to
+        # the deepest level — a documented soft limit, not a config error.
 
     def replace(self, **kw) -> "TrackerConfig":
         return dataclasses.replace(self, **kw)

@@ -64,12 +64,17 @@ class ChunkedVideoPipeline:
                     buf = []
             if buf:
                 self.q.put(np.stack(buf))
-        finally:
             self.q.put(None)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in __iter__
+            # A mid-stream decode failure must not masquerade as clean EOF:
+            # hand the exception to the consumer instead of the sentinel.
+            self.q.put(exc)
 
     def __iter__(self):
         while True:
             item = self.q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -147,6 +147,10 @@ class FrameRing:
             out.nbytes)
         if got == 0:
             return None
+        if got < 0:
+            raise ValueError(
+                f"ring frame ({-got} bytes) larger than pop buffer "
+                f"({out.nbytes} bytes)")
         return out
 
     def __len__(self):

@@ -21,6 +21,9 @@ def hann2d(height: int, width: int) -> jnp.ndarray:
     Applied to features before the FFT to suppress boundary discontinuities
     of the circulant model (arXiv:1404.7584 §4.1, "cosine window").
     """
+    if height < 2 or width < 2:
+        raise ValueError(f"hann2d needs sizes >= 2, got {height}x{width} "
+                         "(KCFConfig.__post_init__ rejects such configs)")
     hy = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(height) / (height - 1)))
     hx = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(width) / (width - 1)))
     return np.outer(hy, hx).astype(np.float32)

@@ -114,6 +114,15 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     if cfg.use_kcf and cfg.roi_impl != "xla":
         import jax as _jax
         if cfg.roi_impl == "pallas" or _jax.default_backend() != "cpu":
+            # The Pallas path derives level shapes and clamp bounds from
+            # cfg.frame_{height,width}; a frame that disagrees would yield
+            # wrong clamps and out-of-bounds window DMAs with no runtime
+            # error, so reject the mismatch at trace time.
+            if gray.shape != (cfg.frame_height, cfg.frame_width):
+                raise ValueError(
+                    f"frame shape {gray.shape} != configured "
+                    f"({cfg.frame_height}, {cfg.frame_width}); the Pallas "
+                    "ROI path requires them to match")
             from tpu_mot.kernels import roi as _roi
             levels = _roi.build_pyramid(gray)
         else:
