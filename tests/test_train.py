@@ -45,6 +45,80 @@ def test_loss_decreases():
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
 
 
+def _build_targets_loop_oracle(spec, gt_boxes, gt_classes, gt_valid):
+    """The original per-GT Python loop formulation, kept as the oracle for
+    the vectorized scatter in parallel/train.py."""
+    s = spec.input_size
+    out = []
+    b, m = gt_valid.shape
+    for anchors, stride in zip(spec.anchors, spec.strides):
+        hg = wg = s // stride
+        a = len(anchors)
+        tgt = np.zeros((b, hg, wg, a, 5 + spec.num_classes), np.float32)
+        areas = np.asarray([aw * ah for aw, ah in anchors])
+        for bi in range(b):
+            for mi in range(m):
+                if not gt_valid[bi, mi]:
+                    continue
+                cx, cy, w, h = gt_boxes[bi, mi]
+                gx = min(int(cx // stride), wg - 1)
+                gy = min(int(cy // stride), hg - 1)
+                ai = int(np.argmin(np.abs(areas - w * h)))
+                tgt[bi, gy, gx, ai, 0] = cx / stride - gx
+                tgt[bi, gy, gx, ai, 1] = cy / stride - gy
+                tgt[bi, gy, gx, ai, 2] = np.log(max(w, 1.0) / anchors[ai][0])
+                tgt[bi, gy, gx, ai, 3] = np.log(max(h, 1.0) / anchors[ai][1])
+                tgt[bi, gy, gx, ai, 4] = 1.0
+                tgt[bi, gy, gx, ai, 5 + int(gt_classes[bi, mi])] = 1.0
+        out.append(tgt)
+    return out
+
+
+def test_build_targets_vectorized_matches_loop_oracle():
+    spec = YoloSpec("yolov2-tiny", num_classes=3, input_size=64,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    rng = np.random.default_rng(5)
+    b, m = 6, 7
+    gb = np.zeros((b, m, 4), np.float32)
+    gb[..., :2] = rng.uniform(2, 62, (b, m, 2))
+    gb[..., 2:] = rng.uniform(4, 40, (b, m, 2))
+    gc = rng.integers(0, 3, (b, m))
+    gv = rng.random((b, m)) > 0.3
+    got = train.build_targets(spec, gb, gc, gv)
+    want = _build_targets_loop_oracle(spec, gb, gc, gv)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_detection_map_hand_cases():
+    """VOC AP on hand-built cases with known values (VERDICT r1 next #9)."""
+    from tpu_mot.utils.metrics import detection_map
+
+    g = [30.0, 30.0, 10.0, 10.0]
+    far = [80.0, 80.0, 10.0, 10.0]
+    # Perfect single detection -> AP = 1.
+    m = detection_map([( [g], [0.9], [0] )], [( [g], [0] )], num_classes=1)
+    assert m["map"] == 1.0
+    # One TP at score .9 + one FP at score .8, one GT:
+    # PR points: (r=1, p=1) then (r=1, p=.5) -> AP = 1.0.
+    m = detection_map([([g, far], [0.9, 0.8], [0, 0])], [([g], [0])], 1)
+    assert m["map"] == 1.0
+    # FP ranked ABOVE the TP: points (r=0, p=0), (r=1, p=.5) -> AP = 0.5.
+    m = detection_map([([far, g], [0.9, 0.8], [0, 0])], [([g], [0])], 1)
+    np.testing.assert_allclose(m["map"], 0.5)
+    # Two GTs, one detected -> recall caps at 0.5: AP = 0.5.
+    m = detection_map([([g], [0.9], [0])], [([g, far], [0, 0])], 1)
+    np.testing.assert_allclose(m["map"], 0.5)
+    # Class present in GT but never predicted -> AP 0 for it; mean over
+    # the two classes = (1 + 0) / 2.
+    m = detection_map([([g], [0.9], [0])], [([g, far], [0, 1])], 2)
+    np.testing.assert_allclose(m["map"], 0.5)
+    assert m["ap_per_class"] == [1.0, 0.0]
+    # Duplicate detection of one GT: second is FP (greedy one-to-one).
+    m = detection_map([([g, g], [0.9, 0.8], [0, 0])], [([g], [0])], 1)
+    np.testing.assert_allclose(m["map"], 1.0)   # TP first: envelope holds
+
+
 def test_targets_structure():
     spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=64,
                     anchors=YOLOV2_TINY_ANCHORS)

@@ -44,7 +44,6 @@ _NEG = -8.0          # benefit of an infeasible pair (below the 0 of dummies)
 DEFAULT_EPS = 0.02   # auction epsilon in cost units; suboptimality <= n*eps
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "eps"))
 def auction_assign(cost: jnp.ndarray, feasible: jnp.ndarray,
                    eps: float = DEFAULT_EPS,
                    max_iters: int = 2000) -> jnp.ndarray:
@@ -55,9 +54,26 @@ def auction_assign(cost: jnp.ndarray, feasible: jnp.ndarray,
     Rows/columns whose only options are infeasible come back unmatched.
     Matches scipy_assign's cardinality; total cost within ~n*eps of optimal.
     """
+    return auction_assign_stats(cost, feasible, eps, max_iters)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "eps"))
+def auction_assign_stats(cost: jnp.ndarray, feasible: jnp.ndarray,
+                         eps: float = DEFAULT_EPS, max_iters: int = 2000
+                         ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """auction_assign plus observability: returns (row_to_col [N] int32,
+    iters [] int32, converged [] bool).
+
+    converged=False means the loop hit max_iters with some row still
+    unassigned — the returned assignment is partial and the caller should
+    count/flag it (the padded square problem always admits a perfect
+    matching via the dummy columns, so non-convergence is an iteration
+    budget event, never a structural one).
+    """
     n_rows, m_cols = cost.shape
     if n_rows == 0 or m_cols == 0:
-        return jnp.full((n_rows,), -1, jnp.int32)
+        return (jnp.full((n_rows,), -1, jnp.int32), jnp.int32(0),
+                jnp.bool_(True))
     n = max(n_rows, m_cols)
 
     b = jnp.where(feasible,
@@ -120,14 +136,15 @@ def auction_assign(cost: jnp.ndarray, feasible: jnp.ndarray,
             jnp.full((n,), -1, jnp.int32),
             jnp.full((n,), -1, jnp.int32),
             jnp.int32(0))
-    _, col_of, _, _ = jax.lax.while_loop(cond, body, init)
+    _, col_of, _, iters = jax.lax.while_loop(cond, body, init)
+    converged = jnp.all(col_of >= 0)
 
     # Keep real rows only; strip dummy columns and infeasible matches.
     col_of = col_of[:n_rows]
     matched_real = (col_of >= 0) & (col_of < m_cols)
     ok = matched_real & jnp.take_along_axis(
         feasible, jnp.clip(col_of, 0, m_cols - 1)[:, None], axis=1)[:, 0]
-    return jnp.where(ok, col_of, -1).astype(jnp.int32)
+    return jnp.where(ok, col_of, -1).astype(jnp.int32), iters, converged
 
 
 def scipy_assign(cost: np.ndarray, feasible: np.ndarray) -> np.ndarray:

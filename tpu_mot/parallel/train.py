@@ -19,40 +19,48 @@ from tpu_mot.models.yolo import YoloSpec, build_model
 
 
 def build_targets(spec: YoloSpec, gt_boxes, gt_classes, gt_valid):
-    """Ground truth → per-head dense target tensors (host-side, NumPy ok).
+    """Ground truth → per-head dense target tensors (host-side, NumPy).
 
     gt_boxes   : [B, M, 4] (cx, cy, w, h) in input_size pixels
     gt_classes : [B, M] int
     gt_valid   : [B, M] bool
-    Returns list over heads of (tgt [B, Hg, Wg, A, 5+C], obj_mask).
+    Returns list over heads of tgt [B, Hg, Wg, A, 5+C].
     Assignment: the anchor with closest area at the object's cell.
+
+    Fully vectorized scatter (one fancy-index assignment per field) — the
+    per-GT Python loop this replaces ran on the host every training step.
+    When two GTs collide on the same (cell, anchor), the later GT wins the
+    box/objectness fields and both class bits stay set, matching the loop
+    formulation's sequential overwrite semantics (asserted equivalent in
+    tests/test_train.py).
     """
     import numpy as np
 
+    gt_boxes = np.asarray(gt_boxes, np.float32)
+    gt_classes = np.asarray(gt_classes, np.int64)
+    gt_valid = np.asarray(gt_valid, bool)
     s = spec.input_size
-    out = []
     b, m = gt_valid.shape
+    bi, mi = np.nonzero(gt_valid)                      # [K] valid GT list
+    cx, cy = gt_boxes[bi, mi, 0], gt_boxes[bi, mi, 1]
+    w, h = gt_boxes[bi, mi, 2], gt_boxes[bi, mi, 3]
+    cls = gt_classes[bi, mi]
+    out = []
     for anchors, stride in zip(spec.anchors, spec.strides):
         hg = wg = s // stride
         a = len(anchors)
+        anc = np.asarray(anchors, np.float32)          # [A, 2]
+        areas = anc[:, 0] * anc[:, 1]
         tgt = np.zeros((b, hg, wg, a, 5 + spec.num_classes), np.float32)
-        areas = np.asarray([aw * ah for aw, ah in anchors])
-        for bi in range(b):
-            for mi in range(m):
-                if not gt_valid[bi, mi]:
-                    continue
-                cx, cy, w, h = gt_boxes[bi, mi]
-                gx = min(int(cx // stride), wg - 1)
-                gy = min(int(cy // stride), hg - 1)
-                ai = int(np.argmin(np.abs(areas - w * h)))
-                tgt[bi, gy, gx, ai, 0] = cx / stride - gx
-                tgt[bi, gy, gx, ai, 1] = cy / stride - gy
-                tgt[bi, gy, gx, ai, 2] = np.log(max(w, 1.0)
-                                                / anchors[ai][0])
-                tgt[bi, gy, gx, ai, 3] = np.log(max(h, 1.0)
-                                                / anchors[ai][1])
-                tgt[bi, gy, gx, ai, 4] = 1.0
-                tgt[bi, gy, gx, ai, 5 + int(gt_classes[bi, mi])] = 1.0
+        gx = np.minimum((cx // stride).astype(np.int64), wg - 1)
+        gy = np.minimum((cy // stride).astype(np.int64), hg - 1)
+        ai = np.argmin(np.abs(areas[None, :] - (w * h)[:, None]), axis=1)
+        tgt[bi, gy, gx, ai, 0] = cx / stride - gx
+        tgt[bi, gy, gx, ai, 1] = cy / stride - gy
+        tgt[bi, gy, gx, ai, 2] = np.log(np.maximum(w, 1.0) / anc[ai, 0])
+        tgt[bi, gy, gx, ai, 3] = np.log(np.maximum(h, 1.0) / anc[ai, 1])
+        tgt[bi, gy, gx, ai, 4] = 1.0
+        tgt[bi, gy, gx, ai, 5 + cls] = 1.0
         out.append(tgt)
     return out
 

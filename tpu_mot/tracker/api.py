@@ -83,7 +83,9 @@ class MultiTracker:
         if o is None:
             return {}
         return {"alive": int(o.n_alive), "births": int(o.n_births),
-                "deaths": int(o.n_deaths), "matches": int(o.n_matches)}
+                "deaths": int(o.n_deaths), "matches": int(o.n_matches),
+                "assign_iters": int(o.assign_iters),
+                "assign_converged": bool(o.assign_converged)}
 
     # -- checkpoint / resume (SURVEY.md §5) ----------------------------
     def save_state(self) -> dict:

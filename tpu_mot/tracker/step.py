@@ -34,7 +34,7 @@ from tpu_mot.ops import iou as iou_ops
 from tpu_mot.ops import kalman
 from tpu_mot.ops import kcf as kcf_ops
 from tpu_mot.ops import patch as patch_ops
-from tpu_mot.ops.assignment import auction_assign
+from tpu_mot.ops.assignment import auction_assign_stats
 from tpu_mot.tracker import bank as bank_mod
 from tpu_mot.tracker.bank import CONFIRMED, EMPTY, TENTATIVE, TrackBank
 
@@ -51,6 +51,9 @@ class StepOutput(NamedTuple):
     n_births: jnp.ndarray     # [] int32
     n_deaths: jnp.ndarray     # [] int32
     n_matches: jnp.ndarray    # [] int32
+    assign_iters: jnp.ndarray      # [] int32 auction rounds this frame
+    assign_converged: jnp.ndarray  # [] bool — False = hit max_iters with a
+                                   # partial assignment (surface, don't hide)
 
 
 def _features_at(frame_gray, boxes, cfg: TrackerConfig, levels=None,
@@ -213,7 +216,8 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     feasible = cost < cfg.cost_infeasible * 0.5
 
     # ---- 4. Assignment -----------------------------------------------
-    matched_det = auction_assign(cost, feasible)                 # [T]
+    matched_det, assign_iters, assign_conv = auction_assign_stats(
+        cost, feasible)                                          # [T]
     is_matched = matched_det >= 0
     det_idx = jnp.clip(matched_det, 0, dets.shape[0] - 1)
     det_taken = jnp.zeros((dets.shape[0],), bool).at[
@@ -312,6 +316,8 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         n_births=n_births,
         n_deaths=n_deaths,
         n_matches=jnp.sum(is_matched.astype(jnp.int32)),
+        assign_iters=assign_iters,
+        assign_converged=assign_conv,
     )
     return new_bank, out
 

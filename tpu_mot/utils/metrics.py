@@ -48,6 +48,66 @@ def otb_precision(gt_boxes, pred_boxes, thresholds=(20.0,)) -> dict:
     return out
 
 
+def detection_map(pred_frames, gt_frames, num_classes: int,
+                  iou_thr: float = 0.5) -> dict:
+    """VOC-style mean average precision — the detector-quality signal that
+    training needs beyond its loss (VERDICT r1 next #9).
+
+    pred_frames : per-image (boxes [N, 4] cxcywh, scores [N], classes [N])
+    gt_frames   : per-image (boxes [M, 4] cxcywh, classes [M])
+    Returns {"map": float, "ap_per_class": [C]}.  AP is the area under the
+    monotone precision envelope (continuous VOC-2010 protocol); each GT box
+    matches at most one detection, greedily by descending score.
+    """
+    aps = []
+    for c in range(num_classes):
+        # Flatten class-c detections across images with image indices.
+        recs = []
+        n_gt = 0
+        gt_c = []
+        for img, (gb, gc) in enumerate(gt_frames):
+            gb = np.asarray(gb, float).reshape(-1, 4)
+            gc = np.asarray(gc)
+            sel = np.where(gc == c)[0]
+            gt_c.append(gb[sel])
+            n_gt += len(sel)
+        for img, (pb, ps, pc) in enumerate(pred_frames):
+            pb = np.asarray(pb, float).reshape(-1, 4)
+            ps = np.asarray(ps, float).reshape(-1)
+            pc = np.asarray(pc).reshape(-1)
+            for i in np.where(pc == c)[0]:
+                recs.append((float(ps[i]), img, pb[i]))
+        if n_gt == 0:
+            continue                       # class absent from GT: skip
+        recs.sort(key=lambda r: -r[0])
+        taken = [np.zeros(len(g), bool) for g in gt_c]
+        tp = np.zeros(len(recs))
+        for k, (_, img, box) in enumerate(recs):
+            g = gt_c[img]
+            if len(g) == 0:
+                continue
+            ious = _iou_matrix(box[None], g)[0]
+            j = int(np.argmax(ious))
+            if ious[j] >= iou_thr and not taken[img][j]:
+                taken[img][j] = True
+                tp[k] = 1.0
+        cum_tp = np.cumsum(tp)
+        recall = cum_tp / n_gt
+        precision = cum_tp / np.arange(1, len(recs) + 1)
+        # Monotone precision envelope, integrated over recall.
+        ap = 0.0
+        if len(recs):
+            for k in range(len(precision) - 2, -1, -1):
+                precision[k] = max(precision[k], precision[k + 1])
+            prev_r = 0.0
+            for k in range(len(recs)):
+                ap += (recall[k] - prev_r) * precision[k]
+                prev_r = recall[k]
+        aps.append(ap)
+    return {"map": float(np.mean(aps)) if aps else 0.0,
+            "ap_per_class": [float(a) for a in aps]}
+
+
 def clear_mot(gt_frames, hyp_frames, iou_thr: float = 0.5) -> dict:
     """Compute CLEAR-MOT + identity metrics.
 
