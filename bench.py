@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -42,8 +43,11 @@ def main() -> None:
     dets_list = synthetic.detections_from_gt(boxes, vis, seed=0,
                                              frame_hw=(height, width))
 
+    # Experiment knob (perf A/B only; the recorded metric uses defaults).
+    kcf_impl = os.environ.get("TPU_MOT_KCF_IMPL", "auto")
     cfg = TrackerConfig(max_tracks=128, max_detections=160,
-                        frame_height=height, frame_width=width)
+                        frame_height=height, frame_width=width,
+                        kcf_impl=kcf_impl)
     d = np.zeros((n_frames, cfg.max_detections, 5), np.float32)
     v = np.zeros((n_frames, cfg.max_detections), bool)
     for f in range(n_frames):
@@ -71,11 +75,28 @@ def main() -> None:
 
     # Timed: device-resident sequence tracking (frames already in HBM, as
     # in the serving pipeline where decode feeds HBM double-buffered).
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        bank, out = scan.run_sequence(bank0, fj, dj, vj, cfg)
-    jax.block_until_ready(out.boxes)
-    dt = (time.perf_counter() - t0) / reps
+    #
+    # Methodology (r2): reps form a DEPENDENT chain (the bank carries
+    # forward) ending in a forced small device→host fetch, and the
+    # reported number is the marginal cost per chunk — chain(reps) minus
+    # chain(1) over (reps-1).  Two reasons, both axon-tunnel artifacts
+    # measured 2026-08-16: (a) independent identical-argument executions
+    # can be deduplicated/deferred by the plugin (a chain of them timed at
+    # 573k fps — nonsense), and (b) each call carries a fixed ~30-45 ms
+    # tunnel round trip that is a dev-harness artifact, not device cost.
+    # The marginal number is the chip's sustained serving throughput.
+    def chain(n):
+        b = bank
+        t0 = time.perf_counter()
+        for _ in range(n):
+            b, o = scan.run_sequence(b, fj, dj, vj, cfg)
+        float(np.asarray(o.n_alive).sum())          # forced fetch
+        return time.perf_counter() - t0
+
+    chain(1)                                        # warm
+    t1 = min(chain(1) for _ in range(2))
+    tn = min(chain(reps + 1) for _ in range(2))
+    dt = (tn - t1) / reps
     fps = n_frames / dt
 
     # Report degraded number if the tracker is not actually tracking.

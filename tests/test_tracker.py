@@ -292,3 +292,34 @@ def test_long_sequence_stability():
     assert int(out.n_alive[150]) >= 6
     assert int(out.n_alive[-1]) == 0
     assert (np.asarray(bank.state) == 0).all()
+
+
+def test_default_config_survives_occlusion_window():
+    """The SHIPPED defaults (psr-gated KCF confidence, appearance blend)
+    must keep identity through a real occlusion: the object disappears for
+    10 frames (no pixels, no detections) while moving, then reappears.
+    With the ungated r1 default the KCF correlated on background during
+    the window and dragged the Kalman state off (tools/sweep_defaults.py:
+    MOTA 0.72 -> 0.79, idsw 6 -> 2.7 across the sweep fixture)."""
+    from tpu_mot.tracker import scan
+
+    rng = np.random.default_rng(7)
+    objs = synthetic.make_objects(6, 240, 320, rng, max_speed=2.5)
+    objs[0].occlude = (15, 25)
+    objs[3].occlude = (18, 28)
+    frames, boxes, vis = synthetic.render_sequence(objs, 45, 240, 320,
+                                                   seed=7)
+    dets = synthetic.detections_from_gt(boxes, vis, seed=7,
+                                        frame_hw=(240, 320))
+    cfg = TrackerConfig(max_tracks=16, max_detections=16,
+                        frame_height=240, frame_width=320, roi_impl="xla")
+    assert cfg.confidence_mode == "psr" and cfg.min_psr > 0  # the defaults
+    _, tracks, _ = scan.track_sequence(frames, dets, cfg)
+    gt = [(np.where(vis[f])[0], boxes[f, np.where(vis[f])[0]])
+          for f in range(45)]
+    hyp = [(np.asarray([t[0] for t in tr]),
+            np.asarray([t[1] for t in tr]).reshape(-1, 4))
+           for tr in tracks]
+    m = metrics.clear_mot(gt, hyp)
+    assert m["mota"] > 0.7, m
+    assert m["idsw"] <= 2, m

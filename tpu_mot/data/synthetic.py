@@ -24,6 +24,19 @@ class SyntheticObject:
     vy: float
     appear: int = 0          # first frame the object exists
     vanish: int = 10 ** 9    # frame the object disappears
+    # Optional occlusion window [start, end): the object is not drawn and
+    # not visible, but keeps moving — the fixture for testing confidence
+    # gating / re-acquisition after occlusion (SURVEY.md §5 fault
+    # injection).
+    occlude: tuple | None = None
+
+    def visible_at(self, f: int) -> bool:
+        if not (self.appear <= f < self.vanish):
+            return False
+        if self.occlude is not None and \
+                self.occlude[0] <= f < self.occlude[1]:
+            return False
+        return True
 
 
 def make_objects(n: int, height: int, width: int, rng: np.random.Generator,
@@ -75,7 +88,7 @@ def render_sequence(objects: list[SyntheticObject], n_frames: int,
         img = bg.copy()
         for k, o in enumerate(objects):
             cx, cy, vx, vy = state[k]
-            if o.appear <= f < o.vanish:
+            if o.visible_at(f):
                 tex = textures[k]
                 th, tw = tex.shape
                 y0 = int(round(cy - th / 2))

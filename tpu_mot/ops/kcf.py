@@ -116,6 +116,41 @@ def detect(model: KCFModel, feat: jnp.ndarray, sigma: float,
     return fft_ops.irfft2(kf * model.alphaf, s, backend)
 
 
+def _resolve_impl(impl: str) -> str:
+    if impl == "auto":
+        # "auto" currently resolves to the XLA einsum chain on every
+        # platform: the fused Pallas kernel (kernels/kcf.py) is ~3500x more
+        # accurate vs a float64 oracle but measured ~2x slower than the
+        # batched einsums at the bench shape (2026-08-16: 0.29 vs 0.15
+        # ms/frame detect @128 tracks) — select kcf_impl="pallas"
+        # explicitly for accuracy-critical runs until the kernel wins.
+        return "xla"
+    return impl
+
+
+def detect_auto(model: KCFModel, feat: jnp.ndarray, sigma: float,
+                impl: str = "auto") -> jnp.ndarray:
+    """detect() with implementation dispatch: "pallas" = the fused
+    VMEM-resident kernel (kernels/kcf.py), "xla" = the einsum chain here,
+    "auto" = pallas on TPU, xla elsewhere."""
+    if _resolve_impl(impl) == "pallas":
+        from tpu_mot.kernels import kcf as kcf_kernels
+        return kcf_kernels.detect_fused(model, feat, sigma)
+    return detect(model, feat, sigma)
+
+
+def train_blend_auto(model: KCFModel, feat: jnp.ndarray, yf: CF,
+                     sigma: float, lambda_: float, lr,
+                     impl: str = "auto") -> KCFModel:
+    """blend(model, train(feat), lr) with implementation dispatch (same
+    convention as detect_auto)."""
+    if _resolve_impl(impl) == "pallas":
+        from tpu_mot.kernels import kcf as kcf_kernels
+        return kcf_kernels.train_fused(model, feat, yf, sigma, lambda_,
+                                       jnp.asarray(lr, jnp.float32))
+    return blend(model, train(feat, yf, sigma, lambda_), lr)
+
+
 def peak_displacement(response: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     """Locate the response peak with sub-pixel refinement.
 

@@ -73,27 +73,27 @@ def _sample_response(response: jnp.ndarray, centers: jnp.ndarray,
     response maps (the reference evaluates KCF response at detections to
     blend appearance into the cost, BASELINE north star).
 
+    TPU-native formulation: bilinear sampling as two one-hot weight
+    matmuls, v[t, d] = wy[t, d, :] @ response[t] @ wx[t, d, :]ᵀ — the
+    gather formulation (4 indexed corner reads) was 128·160·4 scalar
+    random accesses and dropped the bench from ~3000 to ~870 fps when the
+    appearance blend became a default (measured 2026-08-16).
+
     response    : [T, S, S]
     centers/win : [T, 2] predicted centers, [T, 2] search window (w, h)
     det_centers : [D, 2]
     """
-    t = response.shape[0]
     # Template coords of detection d in track t's search window.
     rel = (det_centers[None, :, :] - centers[:, None, :])        # [T, D, 2]
     u = rel / jnp.maximum(win[:, None, :], 1e-3) * size + size // 2
-    ux = jnp.clip(u[..., 0], 0.0, size - 1.0)
+    ux = jnp.clip(u[..., 0], 0.0, size - 1.0)                    # [T, D]
     uy = jnp.clip(u[..., 1], 0.0, size - 1.0)
-    x0 = jnp.floor(ux).astype(jnp.int32)
-    y0 = jnp.floor(uy).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, size - 1)
-    y1 = jnp.minimum(y0 + 1, size - 1)
-    fx = ux - x0
-    fy = uy - y0
-    ti = jnp.arange(t)[:, None]
-    v = (response[ti, y0, x0] * (1 - fy) * (1 - fx)
-         + response[ti, y0, x1] * (1 - fy) * fx
-         + response[ti, y1, x0] * fy * (1 - fx)
-         + response[ti, y1, x1] * fy * fx)
+    iota = jnp.arange(size, dtype=jnp.float32)                   # [S]
+    # Hat-function weights: nonzero only at the two bracketing pixels.
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy[..., None] - iota))   # [T, D, S]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux[..., None] - iota))
+    tmp = jnp.einsum("tds,tsx->tdx", wy, response)               # [T, D, S]
+    v = jnp.sum(tmp * wx, axis=-1)                               # [T, D]
     inside = ((u[..., 0] >= 0) & (u[..., 0] <= size - 1)
               & (u[..., 1] >= 0) & (u[..., 1] <= size - 1))
     return jnp.where(inside, v, 0.0)
@@ -144,8 +144,9 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     if cfg.use_kcf:
         if cfg.kcf.scale_step == 1.0:
             feats = _features_at(gray, pred_boxes, cfg, levels)
-            response = kcf_ops.detect(bank.kcf, feats,
-                                      cfg.kcf.kernel_sigma)
+            response = kcf_ops.detect_auto(bank.kcf, feats,
+                                           cfg.kcf.kernel_sigma,
+                                           cfg.kcf_impl)
             dy, dx, peak = kcf_ops.peak_displacement(response)
             best_scale = jnp.ones((t_cap,), jnp.float32)
             if cfg.confidence_mode == "psr":
@@ -160,8 +161,9 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
                 sc_arr = jnp.full((t_cap,), sc, jnp.float32)
                 f_sc = _features_at(gray, pred_boxes, cfg, levels,
                                     scales=sc_arr)
-                r_sc = kcf_ops.detect(bank.kcf, f_sc,
-                                      cfg.kcf.kernel_sigma)
+                r_sc = kcf_ops.detect_auto(bank.kcf, f_sc,
+                                           cfg.kcf.kernel_sigma,
+                                           cfg.kcf_impl)
                 results.append(kcf_ops.peak_displacement(r_sc))
                 if sc == 1.0:
                     response = r_sc
@@ -295,9 +297,9 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         feats_new = _features_at(gray, final_boxes, cfg, levels)
         yf = kcf_ops.make_yf(s, cfg.kcf.padding,
                              cfg.kcf.output_sigma_factor)
-        fresh = kcf_ops.train(feats_new, yf, cfg.kcf.kernel_sigma,
-                              cfg.kcf.lambda_)
-        kcf_model = kcf_ops.blend(bank.kcf, fresh, lr)
+        kcf_model = kcf_ops.train_blend_auto(
+            bank.kcf, feats_new, yf, cfg.kcf.kernel_sigma,
+            cfg.kcf.lambda_, lr, cfg.kcf_impl)
     else:
         kcf_model = bank.kcf
 
