@@ -44,6 +44,25 @@ def test_nms_matches_oracle():
     assert got == want
 
 
+def test_nms_top_k_prefilter_matches_full():
+    """The top-K prefilter (bounding the IoU precompute at N=2535 anchor
+    counts) must not change results: K >> max_out covers every box that
+    could ever be emitted."""
+    rng = np.random.default_rng(3)
+    n = 600
+    boxes = np.concatenate([rng.uniform(50, 400, (n, 2)),
+                            rng.uniform(10, 60, (n, 2))], 1).astype(
+                                np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    bj, sj = jnp.asarray(boxes), jnp.asarray(scores)
+    idx_full, val_full = nms_ops.nms(bj, sj, max_out=16, iou_thr=0.5,
+                                     score_thr=0.1, pre_top_k=n)
+    idx_pre, val_pre = nms_ops.nms(bj, sj, max_out=16, iou_thr=0.5,
+                                   score_thr=0.1)          # default 8*16
+    np.testing.assert_array_equal(np.asarray(val_full), np.asarray(val_pre))
+    np.testing.assert_array_equal(np.asarray(idx_full), np.asarray(idx_pre))
+
+
 def test_nms_classwise_keeps_other_classes():
     boxes = jnp.asarray([[100.0, 100, 20, 20], [102.0, 100, 20, 20]])
     scores = jnp.asarray([0.9, 0.8])

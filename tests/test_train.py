@@ -119,6 +119,45 @@ def test_detection_map_hand_cases():
     np.testing.assert_allclose(m["map"], 1.0)   # TP first: envelope holds
 
 
+def test_training_lifts_map():
+    """Detector quality signal beyond the loss (VERDICT r1 next #9): on
+    the toy overfit task, mAP@0.5 goes from 0.0 (random init detects
+    nothing above threshold) to a real score.  Measured 0.55 after 150
+    adam steps; asserted loosely for CI stability."""
+    from tpu_mot.models.detector import detect_batch
+    from tpu_mot.utils.metrics import detection_map
+
+    spec = YoloSpec("yolov2-tiny", num_classes=1, input_size=64,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    tx = optax.adam(2e-3)
+    state = train.init_train_state(spec, tx, seed=0)
+    step = train.make_train_step(spec, tx)
+    rng = np.random.default_rng(0)
+    images, gb, gc, gv = _toy_batch(rng, b=8)
+    targets = [jnp.asarray(t) for t in train.build_targets(spec, gb, gc,
+                                                           gv)]
+    imgs = jnp.asarray(images)
+
+    def eval_map(params, bs):
+        dets, valid, classes = detect_batch(
+            {"params": params, "batch_stats": bs}, imgs, spec, (64, 64),
+            8, 0.45, 0.1)
+        preds, gts = [], []
+        for i in range(len(images)):
+            m = np.asarray(valid[i])
+            preds.append((np.asarray(dets[i])[m, :4],
+                          np.asarray(dets[i])[m, 4],
+                          np.asarray(classes[i])[m]))
+            gts.append((gb[i][gv[i]], gc[i][gv[i]]))
+        return detection_map(preds, gts, num_classes=1)["map"]
+
+    map0 = eval_map(state[0], state[1])
+    for _ in range(150):
+        state, _ = step(state, imgs, targets)
+    map1 = eval_map(state[0], state[1])
+    assert map1 > max(map0 + 0.2, 0.3), (map0, map1)
+
+
 def test_targets_structure():
     spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=64,
                     anchors=YOLOV2_TINY_ANCHORS)
