@@ -23,6 +23,12 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 
 import numpy as np
 import jax
+
+# The axon sitecustomize prepends its TPU plugin to jax_platforms, so the
+# env var alone cannot select CPU — honor it explicitly.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -72,6 +78,28 @@ def main():
             print(f"frame {f + 1}: alive per stream {alive.tolist()}  "
                   f"{meter.stats()}")
     print("done:", meter.stats())
+
+    # --- shared-detector mode (configs[4]'s all-gather batch) ----------
+    # Same streams, but the detector runs as ONE batched YOLO forward per
+    # frame over every stream's frames (all-gather over ICI), each shard
+    # keeping its own streams' detections.
+    from tpu_mot.models.detector import YoloDetector, detect_batch
+    from tpu_mot.models.yolo import YoloSpec, YOLOV2_TINY_ANCHORS
+
+    spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=64,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    det = YoloDetector.random_init(spec, seed=0, max_out=16, score_thr=0.0)
+
+    def detect_fn(params, fr):
+        return detect_batch(params, fr, spec, (240, 320), 16, 0.45, 0.0)
+
+    banks2 = serve.make_stream_banks(n_streams, cfg, m)
+    frames = np.stack([scenes[s][0][0] for s in range(n_streams)])
+    banks2, out2 = serve.detect_then_track_step_shared(
+        det.params, banks2, jax.device_put(jnp.asarray(frames), sh), cfg,
+        m, detect_fn)
+    print("shared-detector step ok: alive per stream",
+          np.asarray(out2.n_alive).tolist())
 
 
 if __name__ == "__main__":

@@ -124,11 +124,17 @@ def test_detect_end_to_end_shapes():
     assert np.all(dets[valid][:, 0] <= 160 * 2)
 
 
-def test_darknet_weight_roundtrip(tmp_path):
+@pytest.mark.parametrize("model_name", ["yolov2-tiny", "yolov3-tiny"])
+def test_darknet_weight_roundtrip(tmp_path, model_name):
     """Serialize random darknet-format weights, load, and check exact
-    placement (BN folding order, OIHW→HWIO transpose)."""
-    spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=96,
-                    anchors=YOLOV2_TINY_ANCHORS)
+    placement (BN folding order, OIHW→HWIO transpose) — for both model
+    families (v3-tiny exercises the two-head routing/upsample layer
+    order)."""
+    if model_name == "yolov2-tiny":
+        spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=96,
+                        anchors=YOLOV2_TINY_ANCHORS)
+    else:
+        spec = YoloSpec("yolov3-tiny", num_classes=3, input_size=96)
     det = YoloDetector.random_init(spec)
     rng = np.random.default_rng(0)
 

@@ -38,20 +38,22 @@ def hog_features(patches: jnp.ndarray, cell: int = 4) -> jnp.ndarray:
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.arctan2(dy, dx)                     # [-pi, pi)
 
-    # Soft assignment to the two nearest signed bins.
+    # Soft assignment to the two nearest signed bins, as a periodic hat
+    # function with the BIN axis leading.  The one-hot-gather formulation
+    # (jnp.eye(18)[b0] at [T, P, P, 18]) cost 6+ ms/frame at the bench
+    # shape: integer gathers plus a 128-lane-padded 18-wide minor axis at
+    # pixel resolution; this broadcast-compare form is pure VPU with the
+    # pixel axis kept minor (tools/bench_variants r2: fHOG 159 fps).
     pos = (ang + np.pi) / (2.0 * np.pi) * N_BINS  # [0, 18)
-    b0 = jnp.floor(pos)
-    w1 = pos - b0
-    b0 = b0.astype(jnp.int32) % N_BINS
-    b1 = (b0 + 1) % N_BINS
-    onehot0 = jnp.eye(N_BINS, dtype=jnp.float32)[b0]      # [T, P, P, 18]
-    onehot1 = jnp.eye(N_BINS, dtype=jnp.float32)[b1]
-    votes = (onehot0 * ((1.0 - w1) * mag)[..., None]
-             + onehot1 * (w1 * mag)[..., None])
+    bins = jnp.arange(N_BINS, dtype=jnp.float32).reshape(N_BINS, 1, 1, 1)
+    d = jnp.abs(pos[None] - bins)                 # [18, T, P, P]
+    d = jnp.minimum(d, N_BINS - d)                # periodic bin distance
+    votes = jnp.maximum(0.0, 1.0 - d) * mag[None]
 
-    # Cell pooling (sum over cell x cell blocks).
-    hist = votes.reshape(t, f, cell, f, cell, N_BINS).sum(axis=(2, 4))
-    # [T, F, F, 18]
+    # Cell pooling (sum over cell x cell blocks), then bins to the minor
+    # axis for the (small) [T, F, F, 18] normalization stage.
+    hist = votes.reshape(N_BINS, t, f, cell, f, cell).sum(axis=(3, 5))
+    hist = jnp.transpose(hist, (1, 2, 3, 0))      # [T, F, F, 18]
 
     # Contrast-insensitive 9-bin histogram.
     insens = hist[..., :9] + hist[..., 9:]                 # [T, F, F, 9]
