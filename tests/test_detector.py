@@ -193,3 +193,23 @@ def test_detector_in_tracker_loop():
     for f in range(1, 3):
         dets, valid, _ = det.detect(frames[f])
         mt.update(frames[f], dets[valid])
+
+
+def test_bfloat16_compute_close_to_f32():
+    """The MXU-native bf16 conv path must track the f32 path within bf16
+    tolerance on boxes/scores (production serving dtype)."""
+    rng = np.random.default_rng(4)
+    frames = rng.random((2, 96, 96)).astype(np.float32)
+    spec32 = YoloSpec("yolov2-tiny", num_classes=2, input_size=64,
+                      anchors=YOLOV2_TINY_ANCHORS)
+    spec16 = YoloSpec("yolov2-tiny", num_classes=2, input_size=64,
+                      anchors=YOLOV2_TINY_ANCHORS, dtype="bfloat16")
+    det32 = YoloDetector.random_init(spec32, seed=0, max_out=8,
+                                     score_thr=0.0)
+    det16 = YoloDetector(spec16, det32.params, max_out=8, score_thr=0.0)
+    d32, v32, _ = det32.detect(frames)
+    d16, v16, _ = det16.detect(frames)
+    assert np.isfinite(d16).all()
+    # Same candidate ordering is not guaranteed under quantization; check
+    # score agreement of the top detection per frame.
+    np.testing.assert_allclose(d16[:, 0, 4], d32[:, 0, 4], atol=0.05)

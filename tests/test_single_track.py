@@ -49,3 +49,32 @@ def test_kcf_matches_oracle_trajectory():
         # SURVEY.md §7(d) — sub-pixel agreement per frame.
         np.testing.assert_allclose(got[:2], want[:2], atol=0.75,
                                    err_msg=f"frame {f}")
+
+
+def test_scan_otb_matches_per_frame_wrapper():
+    """run_otb_sequence (one device program per clip) must produce the
+    same trajectory as the per-frame KCFTracker.update loop."""
+    import jax.numpy as jnp
+    from tpu_mot.tracker import kcf_bank
+    from tpu_mot.ops import patch as patch_ops
+
+    objs = [synthetic.SyntheticObject(cx=160, cy=120, w=28, h=24,
+                                      vx=2.0, vy=1.2)]
+    frames, boxes, _ = synthetic.render_sequence(objs, 20, 240, 320,
+                                                 seed=3, noise=0.0)
+    cfg = KCFConfig()
+
+    t = KCFTracker(cfg)
+    t.init(frames[0], boxes[0, 0])
+    want = []
+    for f in range(1, 20):
+        b, _ = t.update(frames[f])
+        want.append(b)
+
+    gray0 = patch_ops.to_gray(jnp.asarray(frames[0]))
+    bank = kcf_bank.init_bank(gray0, jnp.asarray(boxes[0, :1]),
+                              jnp.ones((1,), bool), cfg)
+    _, got_boxes, _ = kcf_bank.run_otb_sequence(
+        bank, jnp.asarray(frames[1:]), cfg)
+    np.testing.assert_allclose(np.asarray(got_boxes[:, 0]),
+                               np.asarray(want), rtol=1e-4, atol=1e-3)

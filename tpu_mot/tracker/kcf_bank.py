@@ -120,6 +120,25 @@ def step(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig
     return new_bank, peak
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_otb_sequence(bank: KCFBank, frames: jnp.ndarray, cfg: KCFConfig
+                     ) -> tuple[KCFBank, jnp.ndarray, jnp.ndarray]:
+    """Track a whole clip in ONE device program (lax.scan over frames) —
+    the throughput shape of the single-object OTB flow (SURVEY.md §3.3):
+    the per-frame KCFTracker.update pays a host↔device round trip per
+    frame; this pays one per clip.
+
+    frames: [N, H, W] (or [N, H, W, 3]); returns (final bank,
+    boxes [N, T, 4], peaks [N, T]).
+    """
+    def body(b, frame):
+        b2, peak = step(b, patch_ops.to_gray(frame), cfg)
+        return b2, (b2.boxes, peak)
+
+    bank, (boxes, peaks) = jax.lax.scan(body, bank, frames)
+    return bank, boxes, peaks
+
+
 class KCFTracker:
     """Single-object convenience wrapper — the reference's `kcf_init` /
     `kcf_update` API (SURVEY.md §3.3, OTB harness)."""
