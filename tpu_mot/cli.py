@@ -29,14 +29,58 @@ def _add_common(p):
     p.add_argument("--video-out", default=None, help="annotated video path")
     p.add_argument("--chunk", type=int, default=32,
                    help="frames per device call")
+    # Parity-tuning knobs (SURVEY §5: every reference hyper-parameter must
+    # be reachable).  Defaults of None fall through to config.py's
+    # validated defaults.
+    p.add_argument("--appearance-weight", type=float, default=None)
+    p.add_argument("--confidence-mode", choices=("peak", "psr"),
+                   default=None)
+    p.add_argument("--min-psr", type=float, default=None)
+    p.add_argument("--n-init", type=int, default=None,
+                   help="hits to confirm a track")
+    p.add_argument("--max-age", type=int, default=None,
+                   help="unmatched frames before a track dies")
+    p.add_argument("--feature", choices=("gray", "hog"), default=None)
+    p.add_argument("--cell-size", type=int, default=None)
+    p.add_argument("--scale-step", type=float, default=None,
+                   help="KCF scale pyramid step (1.0 disables)")
+    p.add_argument("--interp-factor", type=float, default=None)
+    p.add_argument("--kernel-sigma", type=float, default=None)
+    p.add_argument("--lambda", dest="lambda_", type=float, default=None)
+    p.add_argument("--padding", type=float, default=None,
+                   help="KCF context window factor")
+    p.add_argument("--roi-impl", choices=("auto", "pallas", "xla"),
+                   default=None)
+    p.add_argument("--kcf-impl", choices=("auto", "pallas", "xla"),
+                   default=None)
 
 
 def _make_cfg(args, h, w):
-    from tpu_mot.config import TrackerConfig
+    from tpu_mot.config import KCFConfig, TrackerConfig
+
+    kcf_kw = {}
+    for arg, field in (("feature", "feature_type"),
+                       ("cell_size", "cell_size"),
+                       ("scale_step", "scale_step"),
+                       ("interp_factor", "interp_factor"),
+                       ("kernel_sigma", "kernel_sigma"),
+                       ("lambda_", "lambda_"),
+                       ("padding", "padding")):
+        val = getattr(args, arg, None)
+        if val is not None:
+            kcf_kw[field] = val
+    trk_kw = {}
+    for arg in ("appearance_weight", "confidence_mode", "min_psr",
+                "n_init", "max_age", "roi_impl", "kcf_impl"):
+        val = getattr(args, arg, None)
+        if val is not None:
+            trk_kw[arg] = val
+    if kcf_kw:
+        trk_kw["kcf"] = KCFConfig(**kcf_kw)
     return TrackerConfig(max_tracks=args.max_tracks,
                          max_detections=args.max_dets,
                          use_kcf=not args.no_kcf, iou_gate=args.iou_gate,
-                         frame_height=h, frame_width=w)
+                         frame_height=h, frame_width=w, **trk_kw)
 
 
 def cmd_mot(args) -> int:
