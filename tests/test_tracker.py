@@ -323,3 +323,33 @@ def test_default_config_survives_occlusion_window():
     m = metrics.clear_mot(gt, hyp)
     assert m["mota"] > 0.7, m
     assert m["idsw"] <= 2, m
+
+
+def test_adversarial_inputs_no_crash():
+    """Public-API fuzz: degenerate/hostile inputs must not crash or poison
+    the bank — zero-size and negative boxes, detections outside the frame,
+    NaN scores, empty updates, all-black and all-white frames."""
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=64,
+                        frame_width=96, roi_impl="xla", n_init=1)
+    mt = MultiTracker(cfg)
+    mt.init(np.zeros((64, 96), np.float32),
+            np.asarray([[20, 20, 10, 10, 1.0]], np.float32))
+    hostile = [
+        (np.ones((64, 96), np.float32),
+         np.asarray([[5, 5, 0.0, -3.0, 1.0]], np.float32)),   # degenerate wh
+        (np.zeros((64, 96), np.float32),
+         np.asarray([[500, -40, 10, 10, 1.0]], np.float32)),  # off-frame
+        (np.random.default_rng(0).random((64, 96)).astype(np.float32),
+         np.asarray([[30, 30, 10, 10, np.nan]], np.float32)),  # NaN score
+        (np.full((64, 96), 0.5, np.float32), None),            # no dets
+        (np.zeros((64, 96), np.float32),
+         np.zeros((0, 5), np.float32)),                        # empty dets
+    ]
+    for frame, dets in hostile:
+        tracks = mt.update(frame, dets)
+        for tid, box, score in tracks:
+            assert all(np.isfinite(v) for v in box), (tid, box)
+    # The bank itself must stay finite (NaN scores are quarantined by the
+    # det_score_min comparison returning False for NaN).
+    assert np.isfinite(np.asarray(mt.bank.kf_mean)).all()
+    assert np.isfinite(np.asarray(mt.bank.kcf.alphaf.re)).all()
