@@ -73,3 +73,101 @@ def test_frame_ring_spsc():
     for i in (1, 2, 3, 4):
         np.testing.assert_array_equal(ring.pop((64,)), frames[i])
     assert ring.pop((64,)) is None
+
+
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["native", "fallback"])
+def test_stream_scheduler(backend, monkeypatch):
+    """Multi-stream batch assembly: per-stream rings, repeat-last policy,
+    drop accounting — native and pure-Python backends behave the same."""
+    from tpu_mot import native as native_mod
+
+    if backend == "native" and not native_mod.ensure_built():
+        pytest.skip("toolchain unavailable")
+    if backend == "fallback":
+        monkeypatch.setattr(native_mod, "ensure_built", lambda *a: False)
+
+    sched = native_mod.StreamScheduler(3, frame_shape=(4, 6), capacity=2)
+    assert (sched._native is True) == (backend == "native")
+
+    f = lambda v: np.full((4, 6), v, np.uint8)
+    # Incomplete batch: stream 2 never pushed.
+    sched.push(0, f(1))
+    sched.push(1, f(2))
+    assert sched.gather() is None
+
+    sched.push(2, f(3))
+    batch, fresh = sched.gather()
+    assert batch.shape == (3, 4, 6)
+    assert fresh.all()
+    np.testing.assert_array_equal(batch[:, 0, 0], [1, 2, 3])
+
+    # Stream 1 goes silent: its last frame repeats, others stay fresh.
+    sched.push(0, f(10))
+    sched.push(2, f(30))
+    batch, fresh = sched.gather()
+    np.testing.assert_array_equal(batch[:, 0, 0], [10, 2, 30])
+    np.testing.assert_array_equal(fresh, [True, False, True])
+
+    # Overflow: capacity 2, third push drops and is counted.
+    assert sched.push(0, f(41))
+    assert sched.push(0, f(42))
+    assert not sched.push(0, f(43))
+    stats = sched.stats()
+    assert stats["dropped"] == [1, 0, 0]
+    assert stats["repeated"] == [0, 1, 0]
+
+    # FIFO order preserved through the ring.
+    batch, _ = sched.gather()
+    assert batch[0, 0, 0] == 41
+    batch, _ = sched.gather()
+    assert batch[0, 0, 0] == 42
+
+
+def test_stream_scheduler_threaded_producers():
+    """Decoders on real threads at different rates; the gather loop always
+    produces complete batches and per-stream frames arrive in order."""
+    import threading
+
+    from tpu_mot import native as native_mod
+
+    if not native_mod.ensure_built():
+        pytest.skip("toolchain unavailable")
+    import time
+
+    n_streams, n_frames = 4, 50
+    # Capacity >= n_frames so producers never block on the consumer (a
+    # bounded-capacity spin here can deadlock the TEST if the gather loop
+    # bails before producers finish).
+    sched = native_mod.StreamScheduler(n_streams, frame_shape=(2, 2),
+                                       capacity=n_frames)
+
+    def producer(sid):
+        for k in range(n_frames):
+            frame = np.full((2, 2), (sid * n_frames + k) % 251, np.uint8)
+            assert sched.push(sid, frame)
+            time.sleep(0.0005 * (sid + 1))     # uneven decode rates
+
+    threads = [threading.Thread(target=producer, args=(s,))
+               for s in range(n_streams)]
+    for t in threads:
+        t.start()
+    seen = [[] for _ in range(n_streams)]
+    deadline = time.monotonic() + 60.0
+    while (not all(len(v) >= n_frames for v in seen)
+           and time.monotonic() < deadline):
+        got = sched.gather()
+        if got is None:
+            time.sleep(0.001)
+            continue
+        batch, fresh = got
+        for s in range(n_streams):
+            if fresh[s]:
+                seen[s].append(int(batch[s, 0, 0]))
+    for t in threads:
+        t.join()
+    for s in range(n_streams):
+        want = [(s * n_frames + k) % 251 for k in range(n_frames)]
+        assert seen[s][:n_frames] == want

@@ -85,9 +85,12 @@ def build_pyramid(gray: jnp.ndarray, dtype=None):
     return levels
 
 
-# Tracks resampled per grid program; window DMAs are double-buffered so
-# track k+1's HBM→VMEM copy overlaps track k's MXU resample.
+# Tracks resampled per grid program; window DMAs run N_BUFFERS deep so
+# several tracks' HBM→VMEM copies are in flight while track k resamples
+# on the MXU (each window block is a 74 KB copy — latency, not bandwidth,
+# bound; 4 slots cost 288 KB of VMEM).
 TRACKS_PER_PROG = 16
+N_BUFFERS = 4
 # Resample matmul precision. Mosaic supports DEFAULT (1 bf16 pass) and
 # HIGHEST (6 passes) only; DEFAULT quantizes [0,1] pixel data to ~0.4%
 # (bf16 mantissa), far below detector jitter and sensor noise, and halves
@@ -131,11 +134,13 @@ def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
     col_iota = jax.lax.broadcasted_iota(
         jnp.int32, (1, BLK_COLS), 1).astype(jnp.float32)
 
-    start_dma(0, 0)
+    for j in range(min(N_BUFFERS - 1, TRACKS_PER_PROG)):
+        start_dma(j, j % N_BUFFERS)
     for k in range(TRACKS_PER_PROG):
-        slot = k % 2
-        if k + 1 < TRACKS_PER_PROG:
-            start_dma(k + 1, (k + 1) % 2)
+        slot = k % N_BUFFERS
+        nxt = k + N_BUFFERS - 1
+        if nxt < TRACKS_PER_PROG:
+            start_dma(nxt, nxt % N_BUFFERS)
         wait_dma(k, slot)
         t = g * TRACKS_PER_PROG + k
         r0f = r0_ref[t].astype(jnp.float32)
@@ -239,8 +244,8 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
                                lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, BLK_ROWS, BLK_COLS), levels[0].dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_BUFFERS, BLK_ROWS, BLK_COLS), levels[0].dtype),
+            pltpu.SemaphoreType.DMA((N_BUFFERS,)),
         ],
     )
     out = pl.pallas_call(

@@ -26,16 +26,15 @@ _lib = None
 
 
 def ensure_built(quiet: bool = True) -> bool:
-    """Build libtpumot.so if absent. Returns availability."""
+    """Build/refresh libtpumot.so (make no-ops when current). Returns
+    availability."""
     global _lib
-    if _lib is not None:
-        return True
-    if not os.path.exists(_LIB_PATH):
+    if _lib is None:
         try:
             subprocess.run(["make", "-C", _DIR],
                            capture_output=quiet, check=True)
         except Exception:
-            return False
+            pass                      # fall through to any existing .so
     return _load()
 
 
@@ -66,6 +65,21 @@ def _load() -> bool:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     lib.tpumot_ring_size.restype = ctypes.c_int32
     lib.tpumot_ring_size.argtypes = [ctypes.c_void_p]
+    lib.tpumot_sched_create.restype = ctypes.c_void_p
+    lib.tpumot_sched_create.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                                        ctypes.c_int64]
+    lib.tpumot_sched_destroy.argtypes = [ctypes.c_void_p]
+    lib.tpumot_sched_push.restype = ctypes.c_int32
+    lib.tpumot_sched_push.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64]
+    lib.tpumot_sched_gather.restype = ctypes.c_int32
+    lib.tpumot_sched_gather.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.tpumot_sched_stats.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return True
 
@@ -159,4 +173,110 @@ class FrameRing:
     def __del__(self):
         if getattr(self, "_ptr", None):
             _lib.tpumot_ring_destroy(self._ptr)
+            self._ptr = None
+
+
+class StreamScheduler:
+    """Multi-stream batch assembly: N decode threads push into per-stream
+    SPSC rings; a single gather() builds the [n_streams, ...] device batch
+    with a repeat-last-frame policy for late streams (real-time serving
+    never blocks on a slow decoder).  Native-backed when libtpumot.so is
+    built; pure-Python deque fallback otherwise.
+
+    >>> sched = StreamScheduler(8, frame_shape=(1080, 1920), capacity=4)
+    >>> sched.push(stream_id, frame)            # from decode threads
+    >>> batch, fresh = sched.gather()           # from the device feeder
+    >>> sched.stats()                           # drops / repeats / fresh
+    """
+
+    def __init__(self, n_streams: int, frame_shape, capacity: int = 4,
+                 dtype=np.uint8):
+        self.n_streams = n_streams
+        self.frame_shape = tuple(frame_shape)
+        self.dtype = np.dtype(dtype)
+        self.frame_bytes = int(np.prod(self.frame_shape)
+                               * self.dtype.itemsize)
+        self._native = ensure_built()
+        if self._native:
+            self._ptr = _lib.tpumot_sched_create(n_streams, capacity,
+                                                 self.frame_bytes)
+        else:
+            import collections
+            import threading
+            self._rings = [collections.deque(maxlen=capacity)
+                           for _ in range(n_streams)]
+            self._locks = [threading.Lock() for _ in range(n_streams)]
+            self._last = [None] * n_streams
+            self._dropped = np.zeros(n_streams, np.int64)
+            self._repeated = np.zeros(n_streams, np.int64)
+            self._fresh = np.zeros(n_streams, np.int64)
+            self._capacity = capacity
+
+    def push(self, stream: int, frame) -> bool:
+        buf = np.ascontiguousarray(frame, dtype=self.dtype)
+        if buf.nbytes != self.frame_bytes:
+            raise ValueError(f"frame is {buf.nbytes} bytes, expected "
+                             f"{self.frame_bytes}")
+        if self._native:
+            return bool(_lib.tpumot_sched_push(
+                self._ptr, stream,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                buf.nbytes))
+        with self._locks[stream]:
+            if len(self._rings[stream]) >= self._capacity:
+                self._dropped[stream] += 1
+                return False
+            self._rings[stream].append(buf.copy())
+            return True
+
+    def gather(self):
+        """Returns (batch [n_streams, *frame_shape], fresh [n_streams]
+        bool) or None while some stream has never produced a frame."""
+        if self._native:
+            out = np.empty((self.n_streams,) + self.frame_shape, self.dtype)
+            fresh = np.zeros((self.n_streams,), np.uint8)
+            n = _lib.tpumot_sched_gather(
+                self._ptr,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                fresh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if n < 0:
+                return None
+            return out, fresh.astype(bool)
+        # Readiness precheck so an incomplete batch consumes nothing
+        # (rings only grow from the producer side).
+        for i in range(self.n_streams):
+            if self._last[i] is None and not self._rings[i]:
+                return None
+        out = np.empty((self.n_streams,) + self.frame_shape, self.dtype)
+        fresh = np.zeros((self.n_streams,), bool)
+        for i in range(self.n_streams):
+            with self._locks[i]:
+                if self._rings[i]:
+                    self._last[i] = self._rings[i].popleft()
+                    self._fresh[i] += 1
+                    fresh[i] = True
+                else:
+                    self._repeated[i] += 1
+            out[i] = self._last[i].reshape(self.frame_shape)
+        return out, fresh
+
+    def stats(self) -> dict:
+        if self._native:
+            dropped = np.zeros(self.n_streams, np.int64)
+            repeated = np.zeros(self.n_streams, np.int64)
+            fresh = np.zeros(self.n_streams, np.int64)
+            p = ctypes.POINTER(ctypes.c_int64)
+            _lib.tpumot_sched_stats(self._ptr,
+                                    dropped.ctypes.data_as(p),
+                                    repeated.ctypes.data_as(p),
+                                    fresh.ctypes.data_as(p))
+        else:
+            dropped, repeated, fresh = (self._dropped, self._repeated,
+                                        self._fresh)
+        return {"dropped": dropped.tolist(), "repeated": repeated.tolist(),
+                "fresh": fresh.tolist()}
+
+    def __del__(self):
+        if getattr(self, "_native", False) and getattr(self, "_ptr", None):
+            _lib.tpumot_sched_destroy(self._ptr)
             self._ptr = None
