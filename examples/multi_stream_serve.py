@@ -101,6 +101,45 @@ def main():
     print("shared-detector step ok: alive per stream",
           np.asarray(out2.n_alive).tolist())
 
+    # --- realistic host ingest: threaded decoders -> batch scheduler ----
+    # Each stream "decodes" on its own thread at its own rate into the
+    # native StreamScheduler; the device feeder gathers one batch per step
+    # (late streams repeat their last frame — serving never blocks).
+    import threading
+    import time as time_mod
+
+    from tpu_mot.native import StreamScheduler
+
+    sched = StreamScheduler(n_streams, frame_shape=(240, 320),
+                            capacity=4, dtype=np.uint8)
+
+    def decoder(sid):
+        for f in range(n_frames):
+            sched.push(sid, (scenes[sid][0][f] * 255).astype(np.uint8))
+            time_mod.sleep(0.001 * (1 + sid % 3))   # uneven rates
+
+    threads = [threading.Thread(target=decoder, args=(s,), daemon=True)
+               for s in range(n_streams)]
+    for t in threads:
+        t.start()
+    banks3 = serve.make_stream_banks(n_streams, cfg, m)
+    steps = 0
+    empty_d = jnp.zeros((n_streams, 16, 5), jnp.float32)
+    empty_v = jnp.zeros((n_streams, 16), bool)
+    while steps < 10:
+        got = sched.gather()
+        if got is None:
+            time_mod.sleep(0.001)
+            continue
+        batch, fresh = got
+        banks3, out3 = serve.multi_stream_step(
+            banks3, jax.device_put(jnp.asarray(batch), sh),
+            jax.device_put(empty_d, sh), jax.device_put(empty_v, sh), cfg)
+        steps += 1
+    for t in threads:
+        t.join()
+    print("scheduler-fed serving ok:", sched.stats())
+
 
 if __name__ == "__main__":
     main()

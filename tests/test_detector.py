@@ -213,3 +213,55 @@ def test_bfloat16_compute_close_to_f32():
     # Same candidate ordering is not guaranteed under quantization; check
     # score agreement of the top detection per frame.
     np.testing.assert_allclose(d16[:, 0, 4], d32[:, 0, 4], atol=0.05)
+
+
+def test_fast_nms_invariants():
+    """fast_nms relaxation: kept set is mutually non-overlapping at the
+    threshold (same guarantee as greedy), never larger than greedy's, and
+    identical to greedy when no suppression chains exist."""
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        n = 200
+        boxes = np.concatenate([rng.uniform(50, 300, (n, 2)),
+                                rng.uniform(10, 50, (n, 2))], 1).astype(
+                                    np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        bj, sj = jnp.asarray(boxes), jnp.asarray(scores)
+        # Untruncated (max_out = n) so the subset relation below is exact
+        # (with truncation, greedy's superset could lose a low-ranked box
+        # that fast's smaller set retains).
+        gi, gv = nms_ops.nms(bj, sj, n, 0.5, 0.1, pre_top_k=n)
+        fi, fv = nms_ops.fast_nms(bj, sj, n, 0.5, 0.1, pre_top_k=n)
+        kept = np.asarray(fi)[np.asarray(fv)]
+        # mutual exclusion among fast-kept boxes
+        for a in range(len(kept)):
+            for b in range(a + 1, len(kept)):
+                assert oracles.iou_xywh(boxes[kept[a]],
+                                        boxes[kept[b]]) < 0.5
+        assert len(kept) <= int(np.asarray(gv).sum())
+        # every fast-kept box is also greedy-kept (suppression is only
+        # ever MORE aggressive)
+        gset = set(np.asarray(gi)[np.asarray(gv)].tolist())
+        assert set(kept.tolist()) <= gset
+
+    # Well-separated boxes: both implementations identical.
+    boxes = np.asarray([[50, 50, 10, 10], [150, 50, 10, 10],
+                        [50, 150, 10, 10]], np.float32)
+    scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+    gi, gv = nms_ops.nms(jnp.asarray(boxes), jnp.asarray(scores), 4, 0.5,
+                         0.1)
+    fi, fv = nms_ops.fast_nms(jnp.asarray(boxes), jnp.asarray(scores), 4,
+                              0.5, 0.1)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(fi))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(fv))
+
+
+def test_detect_batch_fast_nms_mode():
+    spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=64,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    det = YoloDetector.random_init(spec, max_out=8, score_thr=0.0,
+                                   nms_impl="fast")
+    frames = np.random.default_rng(6).random((2, 96, 128)).astype(
+        np.float32)
+    dets, valid, classes = det.detect(frames)
+    assert dets.shape == (2, 8, 5) and np.isfinite(dets).all()

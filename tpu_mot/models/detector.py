@@ -20,14 +20,16 @@ from tpu_mot.ops.nms import nms_classwise
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "max_out", "iou_thr",
-                                    "score_thr", "frame_hw"))
+                                    "score_thr", "frame_hw", "nms_impl"))
 def detect_batch(params, frames: jnp.ndarray, spec: YoloSpec,
                  frame_hw: tuple, max_out: int = 64,
-                 iou_thr: float = 0.45, score_thr: float = 0.3):
+                 iou_thr: float = 0.45, score_thr: float = 0.3,
+                 nms_impl: str = "greedy"):
     """frames [B, H, W] or [B, H, W, 3] (uint8/float) → padded detections.
 
     Returns (dets [B, max_out, 5] (cx, cy, w, h, score) in FRAME pixels,
              valid [B, max_out] bool, classes [B, max_out] int32).
+    nms_impl: "greedy" (exact) or "fast" (parallel; see ops.nms.fast_nms).
     """
     f = frames.astype(jnp.float32)
     if frames.dtype == jnp.uint8:
@@ -56,7 +58,8 @@ def detect_batch(params, frames: jnp.ndarray, spec: YoloSpec,
     boxes = boxes * jnp.asarray([w / s, h / s, w / s, h / s], jnp.float32)
 
     def one(bx, sc, cl):
-        idx, valid = nms_classwise(bx, sc, cl, max_out, iou_thr, score_thr)
+        idx, valid = nms_classwise(bx, sc, cl, max_out, iou_thr, score_thr,
+                                   impl=nms_impl)
         safe = jnp.clip(idx, 0, bx.shape[0] - 1)
         out_boxes = bx[safe]
         out_scores = jnp.where(valid, sc[safe], 0.0)
@@ -74,12 +77,14 @@ class YoloDetector:
     """
 
     def __init__(self, spec: YoloSpec, params, max_out: int = 64,
-                 iou_thr: float = 0.45, score_thr: float = 0.3):
+                 iou_thr: float = 0.45, score_thr: float = 0.3,
+                 nms_impl: str = "greedy"):
         self.spec = spec
         self.params = params
         self.max_out = max_out
         self.iou_thr = iou_thr
         self.score_thr = score_thr
+        self.nms_impl = nms_impl
 
     @classmethod
     def random_init(cls, spec: YoloSpec, seed: int = 0, **kw):
@@ -106,7 +111,7 @@ class YoloDetector:
         hw = (int(frames.shape[1]), int(frames.shape[2]))
         dets, valid, classes = detect_batch(
             self.params, frames, self.spec, hw, self.max_out,
-            self.iou_thr, self.score_thr)
+            self.iou_thr, self.score_thr, self.nms_impl)
         if squeeze:
             return (np.asarray(dets[0]), np.asarray(valid[0]),
                     np.asarray(classes[0]))
