@@ -61,7 +61,10 @@ def main() -> None:
                                   min_size=24, max_size=64, max_speed=3.0)
     frames, gt_boxes, gt_vis = synthetic.render_sequence(
         objs, n_frames, height, width, seed=0, noise=0.01)
-    fj = jnp.asarray(frames.astype(np.float32))
+    # uint8 frames, as video decode delivers them: the detector preprocess
+    # dequantizes on device and the tracker's ROI path keeps a u8 pyramid
+    # (zero-copy level 0, halved window DMAs).
+    fj = jnp.asarray((frames * 255).astype(np.uint8))
     dets_list = synthetic.detections_from_gt(gt_boxes, gt_vis, seed=0,
                                              frame_hw=(height, width))
     d = np.zeros((n_frames, max_dets, 5), np.float32)
@@ -124,6 +127,30 @@ def main() -> None:
     e2e_ms = _marginal_ms(e2e_chain, n_frames)
     e2e_fps = 1e3 / e2e_ms
 
+    # ---- stage 4: fused e2e with the fast-detector combo ----------------
+    # bf16 convs + parallel Fast NMS — the per-option deltas are recorded
+    # separately in docs/BENCHMARKS.md; this is their combined number.
+    spec_bf16 = YoloSpec("yolov3-tiny", num_classes=80, dtype="bfloat16")
+    det_bf16 = YoloDetector.random_init(spec_bf16, max_out=max_dets,
+                                        score_thr=0.3, nms_impl="fast")
+
+    @jax.jit
+    def e2e_fast_once(params, bank, frames):
+        dets, valid, _ = detect_batch(params, frames, spec_bf16,
+                                      (height, width), max_dets, 0.45, 0.3,
+                                      nms_impl="fast")
+        return scan.run_sequence(bank, frames, dets, valid, cfg)
+
+    def e2e_fast_chain(n):
+        bank = bank0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            bank, outs = e2e_fast_once(det_bf16.params, bank, fj)
+        float(np.asarray(outs.n_alive).sum())       # forced fetch
+        return time.perf_counter() - t0
+
+    e2e_fast_ms = _marginal_ms(e2e_fast_chain, n_frames)
+
     print(json.dumps({
         "metric": "720p detect+track full-pipeline frames/sec/chip",
         "value": round(e2e_fps, 1),
@@ -132,6 +159,8 @@ def main() -> None:
             "detector_ms_per_frame": round(det_ms, 3),
             "tracker_ms_per_frame_128trk": round(trk_ms, 3),
             "e2e_ms_per_frame": round(e2e_ms, 3),
+            "e2e_bf16_fastnms_ms_per_frame": round(e2e_fast_ms, 3),
+            "e2e_bf16_fastnms_fps": round(1e3 / e2e_fast_ms, 1),
             "detector_fps": round(1e3 / det_ms, 1),
             "tracker_fps": round(1e3 / trk_ms, 1),
             "model": spec.name,

@@ -55,6 +55,58 @@ def test_degenerate_and_outside_boxes_finite():
     assert np.isfinite(got).all()
 
 
+def test_u8_pyramid_parity():
+    """uint8 ingest frames keep the pyramid uint8 (zero-copy level 0,
+    halved DMA); the kernel folds the 1/255 dequantization into its
+    resample weights.  Level-0 sampling must match the XLA f32 path on
+    gray = frame/255 to float accuracy."""
+    rng = np.random.default_rng(7)
+    frame_u8 = rng.integers(0, 256, (240, 384), dtype=np.uint8)
+    gray = frame_u8.astype(np.float32) / 255.0
+    boxes = np.array([[70.0, 50.0, 20.0, 26.0],
+                      [200.0, 120.0, 40.0, 30.0],
+                      [10.0, 230.0, 30.0, 24.0]], np.float32)
+    levels = roi.build_pyramid(jnp.asarray(frame_u8))
+    assert all(lv.dtype == jnp.uint8 for lv in levels)
+    got = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame_u8), jnp.asarray(boxes), 2.5, 64,
+        interpret=True, levels=levels, frame_hw=frame_u8.shape))
+    want = np.asarray(patch_ops.extract_patches(
+        jnp.asarray(gray), jnp.asarray(boxes), 2.5, 64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # Deeper levels: u8 rounding of the 2x average pool (<= 0.5/255).
+    l1 = np.asarray(levels[1]).astype(np.float32)[:120, :192] / 255.0
+    want_l1 = gray.reshape(120, 2, 192, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(l1, want_l1, atol=0.51 / 255.0)
+
+
+def test_u8_frame_through_tracker_step():
+    """The fused step accepts uint8 frames on both ROI paths (the u8
+    pyramid on pallas, to_gray on xla) and produces identical tracking to
+    the f32-gray equivalent within resample tolerance."""
+    import jax
+    from tpu_mot.config import TrackerConfig
+    from tpu_mot.tracker import api as api_mod
+
+    rng = np.random.default_rng(8)
+    frame_u8 = rng.integers(0, 256, (120, 160), dtype=np.uint8)
+    cfg = TrackerConfig(max_tracks=8, max_detections=4, frame_height=120,
+                        frame_width=160, roi_impl="xla")
+    trk = api_mod.MultiTracker(cfg)
+    dets = np.array([[40.0, 40.0, 20.0, 18.0, 0.9],
+                     [100.0, 70.0, 24.0, 20.0, 0.8]], np.float32)
+    trk.init(frame_u8, dets)
+    trk2 = api_mod.MultiTracker(cfg)
+    trk2.init(frame_u8.astype(np.float32) / 255.0, dets)
+    np.testing.assert_allclose(
+        np.asarray(trk.last_output.boxes),
+        np.asarray(trk2.last_output.boxes), rtol=1e-4, atol=1e-4)
+    # The u8 bank carries the same KCF spectra as the f32-gray bank.
+    np.testing.assert_allclose(
+        np.asarray(trk.bank.kcf.xf.re), np.asarray(trk2.bank.kcf.xf.re),
+        rtol=1e-3, atol=1e-4)
+
+
 def test_pyramid_shapes_and_content():
     rng = np.random.default_rng(3)
     frame = rng.random((1080, 1920)).astype(np.float32)

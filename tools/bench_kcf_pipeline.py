@@ -1,0 +1,103 @@
+"""Full-pipeline A/B of the KCF math implementation at the bench shape.
+
+The standalone sweep (bench_kcf_v2.py) flatters the XLA einsum chain: with
+a loop-invariant model, XLA hoists the model-side transposes/energies (and
+for train, the whole ridge solve) out of the measurement scan.  In the
+real tracker the model bank changes every frame, so the only decisive
+comparison is the canonical bench pipeline with kcf_impl swapped.
+
+Run in the bench session; commit the log.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_mot.config import TrackerConfig
+    from tpu_mot.data import synthetic
+    from tpu_mot.tracker import bank as bank_mod
+    from tpu_mot.tracker import scan
+    from tpu_mot.tracker.api import pad_detections
+    from tpu_mot.utils import metrics
+
+    height, width = 1080, 1920
+    n_obj, n_frames, reps = 128, 64, 5
+
+    rng = np.random.default_rng(0)
+    objs = synthetic.make_objects(n_obj, height, width, rng,
+                                  min_size=24, max_size=64, max_speed=3.0)
+    frames, boxes, vis = synthetic.render_sequence(
+        objs, n_frames, height, width, seed=0, noise=0.01)
+    dets_list = synthetic.detections_from_gt(boxes, vis, seed=0,
+                                             frame_hw=(height, width))
+    fj = jnp.asarray((frames * 255).astype(np.uint8))
+    gt = [(np.where(vis[f])[0], boxes[f, np.where(vis[f])[0]])
+          for f in range(n_frames)]
+
+    variants = {
+        "xla (shipped auto)": dict(kcf_impl="xla"),
+        "pallas/highest/tb16": dict(kcf_impl="pallas",
+                                    kcf_precision="highest", kcf_block=16),
+        "pallas/default/tb16": dict(kcf_impl="pallas",
+                                    kcf_precision="default", kcf_block=16),
+        "pallas/default/tb32": dict(kcf_impl="pallas",
+                                    kcf_precision="default", kcf_block=32),
+    }
+
+    for name, kw in variants.items():
+        try:
+            cfg = TrackerConfig(max_tracks=128, max_detections=160,
+                                frame_height=height, frame_width=width,
+                                **kw)
+            d = np.zeros((n_frames, 160, 5), np.float32)
+            v = np.zeros((n_frames, 160), bool)
+            for f in range(n_frames):
+                d[f], v[f] = pad_detections(dets_list[f], 160)
+            dj, vj = jnp.asarray(d), jnp.asarray(v)
+            bank0 = bank_mod.empty_bank(cfg)
+            bank, out = scan.run_sequence(bank0, fj, dj, vj, cfg)
+            jax.block_until_ready(out.boxes)
+            hyp = []
+            ids_np, boxes_np, valid_np = (np.asarray(out.ids),
+                                          np.asarray(out.boxes),
+                                          np.asarray(out.valid))
+            for f in range(n_frames):
+                sel = np.where(valid_np[f])[0]
+                hyp.append((ids_np[f, sel], boxes_np[f, sel]))
+            mota = metrics.clear_mot(gt, hyp)["mota"]
+
+            def chain(n):
+                b = bank
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    b, o = scan.run_sequence(b, fj, dj, vj, cfg)
+                float(np.asarray(o.n_alive).sum())
+                return time.perf_counter() - t0
+
+            chain(1)
+            t1 = min(chain(1) for _ in range(2))
+            tn = min(chain(reps + 1) for _ in range(2))
+            ms = (tn - t1) / reps / n_frames * 1e3
+            print(json.dumps({"variant": name,
+                              "ms_per_frame": round(ms, 4),
+                              "fps": round(1e3 / ms, 1),
+                              "mota_sanity": round(float(mota), 4)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep survives blowups
+            print(json.dumps({"variant": name,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

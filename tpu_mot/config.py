@@ -140,10 +140,18 @@ class TrackerConfig:
     roi_impl: str = "auto"
     # KCF FFT-chain implementation: "auto" | "pallas" | "xla"
     # (kernels/kcf.py fused VMEM-resident kernel vs ops/kcf.py einsums).
-    # "auto" resolves to "xla" everywhere for now — the fused kernel is
-    # far more accurate (3.6e-7 vs 1.3e-3 against a float64 oracle) but
-    # ~2x slower than the batched einsums (see ops/kcf._resolve_impl).
+    # "auto" resolves to "xla" everywhere — the fused kernel is far more
+    # accurate (3.6e-7 vs 1.3e-3 against a float64 oracle) but loses the
+    # full-pipeline bench at every swept tuning point (see
+    # ops/kcf._resolve_impl and docs/BENCHMARKS.md).
     kcf_impl: str = "auto"
+    # Fused-kernel tuning (kcf_impl="pallas" only): MXU dot precision
+    # ("highest" = 6-pass f32, 3.6e-7 vs float64 oracle; "default" =
+    # single-pass bf16 MXU, same ~1e-3 accuracy class as the XLA einsums
+    # at ~17% lower kernel cost) and tracks per grid program (16 swept
+    # best on the v5e; tools/bench_kcf_v2_r2.log).
+    kcf_precision: str = "highest"
+    kcf_block: int = 16
 
     # Emit only confirmed tracks seen (matched) within this many frames
     # (SORT emits time_since_update < 1; large value = emit all confirmed
@@ -158,6 +166,12 @@ class TrackerConfig:
             raise ValueError(f"unknown roi_impl {self.roi_impl!r}")
         if self.kcf_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown kcf_impl {self.kcf_impl!r}")
+        if self.kcf_precision not in ("highest", "default"):
+            raise ValueError(
+                f"unknown kcf_precision {self.kcf_precision!r} "
+                "(Mosaic supports only 'highest' and 'default' dots)")
+        if self.kcf_block < 1:
+            raise ValueError("kcf_block must be >= 1")
         if self.max_tracks < 1 or self.max_detections < 1:
             raise ValueError("max_tracks and max_detections must be >= 1")
         if self.frame_height < 1 or self.frame_width < 1:

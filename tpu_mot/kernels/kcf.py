@@ -54,18 +54,32 @@ from tpu_mot.ops import fft as fft_ops
 from tpu_mot.ops.cfloat import CF
 from tpu_mot.ops.kcf import KCFModel
 
-TRACK_BLOCK = 8          # tracks per grid program (pads T up to a multiple)
+# Tracks per grid program (pads T up to a multiple).  Swept on the v5e
+# (tools/bench_kcf_v2_r2.log): 16 is ~1.8x faster than 8 (bigger stacked
+# dots, fewer grid programs); 32 is flat; >=64 fails remote compile
+# (VMEM / unroll blowup).  Default overridable per call and via
+# config.kcf_block.
+TRACK_BLOCK = 16
 
 # f32 dots on the MXU: Mosaic supports DEFAULT and HIGHEST only.  HIGHEST
-# (6-pass) measured 3.6e-7 max error vs a float64 oracle at the bench shape
-# and is the shipped setting — the XLA einsum path on TPU sits at 1.3e-3.
-_PREC = jax.lax.Precision.HIGHEST
+# (6-pass) measured 3.6e-7 max error vs a float64 oracle at the bench shape;
+# DEFAULT (single-pass bf16 MXU) lands at the same ~1e-3 accuracy class as
+# the XLA einsum chain but at ~1/3 the dot cost — both are selectable
+# (config.kcf_precision), with per-variant numbers in docs/BENCHMARKS.md.
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
 
-def _dot(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               precision=_PREC,
-                               preferred_element_type=jnp.float32)
+def _dot_with(prec):
+    p = _PRECISIONS[prec]
+
+    def _dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   precision=p,
+                                   preferred_element_type=jnp.float32)
+    return _dot
 
 
 _CONST_NAMES = ("bst", "fst", "est", "gst", "wts")
@@ -109,30 +123,30 @@ def _const_dict(refs):
     return {k: r[:] for k, r in zip(_CONST_NAMES, refs)}
 
 
-def _rfft2t(x, c, s: int, sf: int):
+def _rfft2t(x, c, s: int, sf: int, dot=None):
     """x [B, S, S] real → transposed half spectrum (zrT, ziT) [B, Sf, S].
 
     Two stacked dots + one batched minor-dim transpose."""
     b = x.shape[0]
-    pq = _dot(x.reshape(b * s, s), c["bst"]).reshape(b, s, 2 * sf)
+    pq = dot(x.reshape(b * s, s), c["bst"]).reshape(b, s, 2 * sf)
     pqt = jnp.swapaxes(pq, 1, 2)                         # [B, 2Sf, S]
-    o = _dot(pqt.reshape(b * 2 * sf, s), c["fst"]).reshape(b, 2 * sf, 2 * s)
+    o = dot(pqt.reshape(b * 2 * sf, s), c["fst"]).reshape(b, 2 * sf, 2 * s)
     zr = o[:, :sf, :s] - o[:, sf:, s:]                   # PᵀF − QᵀFi
     zi = o[:, sf:, :s] + o[:, :sf, s:]                   # QᵀF + PᵀFi
     return zr, zi
 
 
-def _irfft2t(yrt, yit, c, s: int, sf: int):
+def _irfft2t(yrt, yit, c, s: int, sf: int, dot=None):
     """Transposed half spectrum [B, Sf, S] → real spatial x [B, S, S]
     (normal orientation).  Weights/scale pre-folded into gst."""
     b = yrt.shape[0]
     st = jnp.concatenate([yrt, yit], axis=1)             # [B, 2Sf, S]
-    bb = _dot(st.reshape(b * 2 * sf, s), c["est"]).reshape(b, 2 * sf, 2 * s)
+    bb = dot(st.reshape(b * 2 * sf, s), c["est"]).reshape(b, 2 * sf, 2 * s)
     trb = jnp.swapaxes(bb, 1, 2)                         # [B, 2S, 2Sf]
     m = trb[:, :s, :sf] - trb[:, s:, sf:]                # (E Y)ᵀᵀ re
     n = trb[:, s:, :sf] + trb[:, :s, sf:]                # (E Y)ᵀᵀ im
     mn = jnp.concatenate([m, n], axis=2)                 # [B, S, 2Sf]
-    return _dot(mn.reshape(b * s, 2 * sf), c["gst"]).reshape(b, s, s)
+    return dot(mn.reshape(b * s, 2 * sf), c["gst"]).reshape(b, s, s)
 
 
 def _energy_t(zrt, zit, c, s: int):
@@ -145,12 +159,12 @@ def _energy_t(zrt, zit, c, s: int):
 
 
 def _gauss_corr_kft(cross, xx, zz, sigma: float, numel: int, c,
-                    s: int, sf: int):
+                    s: int, sf: int, dot=None):
     """k = exp(-max(xx+zz-2·cross, 0)/(σ²·numel)) → k̂ᵀ (one fwd).
     xx, zz: [B, 1, 1] energies."""
     d = jnp.maximum(xx + zz - 2.0 * cross, 0.0)
     k = jnp.exp(-d / (sigma * sigma * numel))
-    return _rfft2t(k, c, s, sf)
+    return _rfft2t(k, c, s, sf, dot)
 
 
 def _tr(x):
@@ -159,12 +173,14 @@ def _tr(x):
 
 
 def _detect_kernel(feat_ref, xfr_ref, xfi_ref, afr_ref, afi_ref,
-                   *refs, sigma: float, s: int, nc: int, tb: int):
+                   *refs, sigma: float, s: int, nc: int, tb: int,
+                   prec: str):
     out_ref = refs[-1]
     c = _const_dict(refs[:-1])
+    dot = _dot_with(prec)
     sf = s // 2 + 1
     feat = feat_ref[:].reshape(tb * nc, s, s)
-    zrt, zit = _rfft2t(feat, c, s, sf)                   # [TB·C, Sf, S]
+    zrt, zit = _rfft2t(feat, c, s, sf, dot)              # [TB·C, Sf, S]
     xrt = _tr(xfr_ref[:].reshape(tb * nc, s, sf))        # model, transposed
     xit = _tr(xfi_ref[:].reshape(tb * nc, s, sf))
     # cross_f = Σ_c ẑ·conj(x̂); energies via Parseval, summed over channels.
@@ -172,30 +188,33 @@ def _detect_kernel(feat_ref, xfr_ref, xfi_ref, afr_ref, afi_ref,
     cit = (zit * xrt - zrt * xit).reshape(tb, nc, sf, s).sum(axis=1)
     zz = _energy_t(zrt, zit, c, s).reshape(tb, nc, 1, 1).sum(axis=1)
     xx = _energy_t(xrt, xit, c, s).reshape(tb, nc, 1, 1).sum(axis=1)
-    cross = _irfft2t(crt, cit, c, s, sf)                 # [TB, S, S]
-    krt, kit = _gauss_corr_kft(cross, zz, xx, sigma, s * s * nc, c, s, sf)
+    cross = _irfft2t(crt, cit, c, s, sf, dot)            # [TB, S, S]
+    krt, kit = _gauss_corr_kft(cross, zz, xx, sigma, s * s * nc, c, s, sf,
+                               dot)
     art = _tr(afr_ref[:])                                # [TB, Sf, S]
     ait = _tr(afi_ref[:])
     # response = IFFT(k̂ ⊙ α̂)
     out_ref[:] = _irfft2t(krt * art - kit * ait,
-                          krt * ait + kit * art, c, s, sf)
+                          krt * ait + kit * art, c, s, sf, dot)
 
 
 def _train_kernel(lr_ref, feat_ref, xfr_ref, xfi_ref, afr_ref, afi_ref,
                   yfrt_ref, yfit_ref,
                   *refs, sigma: float, lambda_: float, s: int, nc: int,
-                  tb: int):
+                  tb: int, prec: str):
     oxr_ref, oxi_ref, oar_ref, oai_ref = refs[-4:]
     c = _const_dict(refs[:-4])
+    dot = _dot_with(prec)
     sf = s // 2 + 1
     g = pl.program_id(0)
     feat = feat_ref[:].reshape(tb * nc, s, s)
-    xrt, xit = _rfft2t(feat, c, s, sf)                   # fresh x̂ᵀ
+    xrt, xit = _rfft2t(feat, c, s, sf, dot)              # fresh x̂ᵀ
     # x̂·conj(x̂) is real; energies summed over channels.
     crt = (xrt * xrt + xit * xit).reshape(tb, nc, sf, s).sum(axis=1)
     xx = _energy_t(xrt, xit, c, s).reshape(tb, nc, 1, 1).sum(axis=1)
-    cross = _irfft2t(crt, jnp.zeros_like(crt), c, s, sf)
-    krt, kit = _gauss_corr_kft(cross, xx, xx, sigma, s * s * nc, c, s, sf)
+    cross = _irfft2t(crt, jnp.zeros_like(crt), c, s, sf, dot)
+    krt, kit = _gauss_corr_kft(cross, xx, xx, sigma, s * s * nc, c, s, sf,
+                               dot)
     # α̂ = ŷ / (k̂ + λ)  — ŷᵀ is passed pre-transposed (a constant).
     dr = krt + lambda_
     inv = 1.0 / jnp.maximum(dr * dr + kit * kit, 1e-20)
@@ -238,20 +257,24 @@ def _pad_tracks(arrs, t: int, tb: int):
 
 
 def detect_fused(model: KCFModel, feat: jnp.ndarray, sigma: float,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False, precision: str = "highest",
+                 block: int | None = None) -> jnp.ndarray:
     """Fused correlation response of the model bank (ops/kcf.detect parity).
 
     feat : [T, C, S, S] windowed features → response [T, S, S].
+    precision : "highest" (6-pass MXU, ~3500x more accurate than the XLA
+        einsum chain) or "default" (single-pass bf16 MXU, ~3x cheaper dots).
+    block : tracks per grid program (default TRACK_BLOCK).
     """
     t, nc, s, _ = feat.shape
     sf = s // 2 + 1
-    tb = min(TRACK_BLOCK, t)
+    tb = min(block or TRACK_BLOCK, t)
     (feat, xr, xi, ar, ai), t_pad = _pad_tracks(
         [feat, model.xf.re, model.xf.im, model.alphaf.re, model.alphaf.im],
         t, tb)
     sp = _per_block_specs(tb, nc, s, sf)
     kernel = functools.partial(_detect_kernel, sigma=float(sigma), s=s,
-                               nc=nc, tb=tb)
+                               nc=nc, tb=tb, prec=precision)
     out = pl.pallas_call(
         kernel,
         grid=(t_pad // tb,),
@@ -266,15 +289,17 @@ def detect_fused(model: KCFModel, feat: jnp.ndarray, sigma: float,
 
 def train_fused(model: KCFModel, feat: jnp.ndarray, yf: CF, sigma: float,
                 lambda_: float, lr: jnp.ndarray,
-                interpret: bool = False) -> KCFModel:
+                interpret: bool = False, precision: str = "highest",
+                block: int | None = None) -> KCFModel:
     """Fused train + EMA blend (ops/kcf.train ∘ blend parity).
 
     feat [T, C, S, S], yf [S, Sf] shared target spectrum, lr [T] per-track
     learning rate (1.0 births / interp matched / 0.0 dead).
+    precision/block: see detect_fused.
     """
     t, nc, s, _ = feat.shape
     sf = s // 2 + 1
-    tb = min(TRACK_BLOCK, t)
+    tb = min(block or TRACK_BLOCK, t)
     (feat, xr, xi, ar, ai, lr1), t_pad = _pad_tracks(
         [feat, model.xf.re, model.xf.im, model.alphaf.re, model.alphaf.im,
          jnp.asarray(lr, jnp.float32).reshape(t)], t, tb)
@@ -282,7 +307,8 @@ def train_fused(model: KCFModel, feat: jnp.ndarray, yf: CF, sigma: float,
     yf_spec = pl.BlockSpec((sf, s), lambda i, *_: (0, 0),
                            memory_space=pltpu.VMEM)
     kernel = functools.partial(_train_kernel, sigma=float(sigma),
-                               lambda_=float(lambda_), s=s, nc=nc, tb=tb)
+                               lambda_=float(lambda_), s=s, nc=nc, tb=tb,
+                               prec=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                # lr [T] rides SMEM
         grid=(t_pad // tb,),

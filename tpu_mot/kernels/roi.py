@@ -60,15 +60,26 @@ def _level_shapes(h: int, w: int):
 
 
 def build_pyramid(gray: jnp.ndarray, dtype=None):
-    """[H, W] float32 → list of N_LEVELS padded level images (dtype
-    PYRAMID_DTYPE by default; see note above).
+    """[H, W] float32 or uint8 frame → list of N_LEVELS padded level
+    images.
 
     Level k is a 2^k x 2^k average pool; padding replicates nothing (zeros)
     — samplers never index past the true extent.
+
+    A uint8 input keeps the whole pyramid uint8 (the ROI kernel folds the
+    1/255 dequantization into its resample weights): level 0 becomes a
+    zero-copy pad of the ingest frame (at 1080p the padded shape equals
+    the frame shape, so it is free), deeper levels round back to u8
+    (<=0.5/255 per level, below the bf16 storage error), and every window
+    DMA halves again vs bf16 — measured 0.0425 ms/frame for the f32->bf16
+    pyramid chain at 1080p (tools/bench_roi_sweep_r2.log).  Float input
+    stores PYRAMID_DTYPE (bf16) by default; pass dtype=float32 for exact
+    parity runs.
     """
-    dtype = dtype or PYRAMID_DTYPE
     h, w = gray.shape
     shapes = _level_shapes(h, w)
+    u8 = gray.dtype == jnp.uint8 and dtype is None
+    dtype = jnp.uint8 if u8 else (dtype or PYRAMID_DTYPE)
     levels = []
     cur = gray
     for lv in range(N_LEVELS):
@@ -80,17 +91,23 @@ def build_pyramid(gray: jnp.ndarray, dtype=None):
             # 2x2 average pool via reduce_window — one fused pass; the
             # reshape-mean formulation costs ~2 ms/frame at 1080p in
             # layout-change copies (profiled).
-            cur = jax.lax.reduce_window(
-                cur, 0.0, jax.lax.add, (2, 2), (2, 2), "SAME") * 0.25
+            pooled = jax.lax.reduce_window(
+                cur.astype(jnp.float32), 0.0, jax.lax.add,
+                (2, 2), (2, 2), "SAME") * 0.25
+            cur = (jnp.clip(pooled + 0.5, 0.0, 255.0).astype(jnp.uint8)
+                   if u8 else pooled)
     return levels
 
 
 # Tracks resampled per grid program; window DMAs run N_BUFFERS deep so
 # several tracks' HBM→VMEM copies are in flight while track k resamples
-# on the MXU (each window block is a 74 KB copy — latency, not bandwidth,
-# bound; 4 slots cost 288 KB of VMEM).
+# on the MXU (each window block is a 37 KB u8 / 74 KB bf16 copy —
+# latency, not bandwidth, bound).  Swept on the v5e
+# (tools/bench_roi_sweep_r2.log): 8 buffers at 16 tracks/program is ~12%
+# faster than the old 4-deep pipeline; 32 tracks/program is equivalent
+# but doubles the padding waste for small banks.
 TRACKS_PER_PROG = 16
-N_BUFFERS = 4
+N_BUFFERS = 8
 # Resample matmul precision. Mosaic supports DEFAULT (1 bf16 pass) and
 # HIGHEST (6 passes) only; DEFAULT quantizes [0,1] pixel data to ~0.4%
 # (bf16 mantissa), far below detector jitter and sensor noise, and halves
@@ -101,12 +118,15 @@ _DOT_PRECISION = jax.lax.Precision.DEFAULT
 
 
 def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
-                l0, l1, l2, l3, out_ref, scratch, sem):
+                l0, l1, l2, l3, out_ref, scratch, sem,
+                tpp: int = None, nbuf: int = None, scale: float = 1.0):
     g = pl.program_id(0)
     levels = (l0, l1, l2, l3)
+    tpp = tpp or TRACKS_PER_PROG
+    nbuf = nbuf or N_BUFFERS
 
     def start_dma(k, slot):
-        t = g * TRACKS_PER_PROG + k
+        t = g * tpp + k
         lvl = lvl_ref[t]
         r0 = pl.multiple_of(r0_ref[t], 8)
         c0 = pl.multiple_of(c0_ref[t], 128)
@@ -118,7 +138,7 @@ def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
                     scratch.at[slot], sem.at[slot]).start()
 
     def wait_dma(k, slot):
-        t = g * TRACKS_PER_PROG + k
+        t = g * tpp + k
         lvl = lvl_ref[t]
         r0 = pl.multiple_of(r0_ref[t], 8)
         c0 = pl.multiple_of(c0_ref[t], 128)
@@ -134,15 +154,15 @@ def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
     col_iota = jax.lax.broadcasted_iota(
         jnp.int32, (1, BLK_COLS), 1).astype(jnp.float32)
 
-    for j in range(min(N_BUFFERS - 1, TRACKS_PER_PROG)):
-        start_dma(j, j % N_BUFFERS)
-    for k in range(TRACKS_PER_PROG):
-        slot = k % N_BUFFERS
-        nxt = k + N_BUFFERS - 1
-        if nxt < TRACKS_PER_PROG:
-            start_dma(nxt, nxt % N_BUFFERS)
+    for j in range(min(nbuf - 1, tpp)):
+        start_dma(j, j % nbuf)
+    for k in range(tpp):
+        slot = k % nbuf
+        nxt = k + nbuf - 1
+        if nxt < tpp:
+            start_dma(nxt, nxt % nbuf)
         wait_dma(k, slot)
-        t = g * TRACKS_PER_PROG + k
+        t = g * tpp + k
         r0f = r0_ref[t].astype(jnp.float32)
         c0f = c0_ref[t].astype(jnp.float32)
         # Bilinear resample via one-hot weight matmuls on the MXU.
@@ -150,7 +170,17 @@ def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
         xs = xs_ref[t, :] - c0f                       # [S] block-local cols
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_iota))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - col_iota))
-        tmp = jnp.dot(wy, scratch[slot].astype(jnp.float32),
+        if scale != 1.0:
+            # u8 pyramid dequantization (1/255) folded into the row
+            # weights — free relative to a separate elementwise pass over
+            # the block.
+            wy = wy * scale
+        blk = scratch[slot]
+        if blk.dtype == jnp.uint8:
+            # Mosaic has no direct u8->f32 cast (NotImplementedError);
+            # widen through int32 first (verified supported, 2026-08-16).
+            blk = blk.astype(jnp.int32)
+        tmp = jnp.dot(wy, blk.astype(jnp.float32),
                       preferred_element_type=jnp.float32,
                       precision=_DOT_PRECISION)
         out = jax.lax.dot_general(tmp, wx, (((1,), (1,)), ((), ())),
@@ -180,7 +210,8 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
                            scales: jnp.ndarray | None = None,
                            interpret: bool = False,
                            levels=None, frame_hw=None,
-                           dtype=None) -> jnp.ndarray:
+                           dtype=None, tracks_per_prog: int | None = None,
+                           n_buffers: int | None = None) -> jnp.ndarray:
     """Pallas ROI extraction: [H, W] frame + [T, 4] boxes → [T, S, S].
 
     Equivalent to ops.patch.extract_patches up to the mip-level resampling
@@ -225,7 +256,9 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
     c0 = jnp.clip((jnp.floor(xs[:, 0]).astype(jnp.int32) // 128) * 128,
                   0, max_c0)
 
-    t_pad = _ceil_mult(t_cap, TRACKS_PER_PROG)
+    tpp = tracks_per_prog or TRACKS_PER_PROG
+    nbuf = n_buffers or N_BUFFERS
+    t_pad = _ceil_mult(t_cap, tpp)
     if t_pad != t_cap:
         pad = ((0, t_pad - t_cap),)
         lvl = jnp.pad(lvl, pad)
@@ -235,21 +268,22 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
         xs = jnp.pad(xs, pad + ((0, 0),))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t_pad // TRACKS_PER_PROG,),
+        grid=(t_pad // tpp,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # ys (full [T, S])
             pl.BlockSpec(memory_space=pltpu.VMEM),      # xs
         ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * N_LEVELS,
-        out_specs=pl.BlockSpec((TRACKS_PER_PROG, size, size),
+        out_specs=pl.BlockSpec((tpp, size, size),
                                lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((N_BUFFERS, BLK_ROWS, BLK_COLS), levels[0].dtype),
-            pltpu.SemaphoreType.DMA((N_BUFFERS,)),
+            pltpu.VMEM((nbuf, BLK_ROWS, BLK_COLS), levels[0].dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
+    scale = 1.0 / 255.0 if levels[0].dtype == jnp.uint8 else 1.0
     out = pl.pallas_call(
-        _roi_kernel,
+        functools.partial(_roi_kernel, tpp=tpp, nbuf=nbuf, scale=scale),
         out_shape=jax.ShapeDtypeStruct((t_pad, size, size), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -95,7 +95,7 @@ def auction_assign_stats(cost: jnp.ndarray, feasible: jnp.ndarray,
     row_iota = jnp.arange(n, dtype=jnp.int32)
     col_iota2 = jnp.arange(n, dtype=jnp.int32)[None, :]
 
-    def body(state):
+    def round_(state):
         # Dense-mask formulation: TPU gathers/scatters inside a while_loop
         # dominated the step profile (kCustom scatter fusions); every
         # indexed update below is an [n, n] one-hot compare+select on the
@@ -131,6 +131,17 @@ def auction_assign_stats(cost: jnp.ndarray, feasible: jnp.ndarray,
         row_of = jnp.where(has_bid, winner, row_of)
         prices = jnp.where(has_bid, best_bid, prices)
         return prices, col_of, row_of, it + 1
+
+    def body(state):
+        # Several Jacobi rounds per while_loop iteration: typical gated
+        # MOT problems converge in 5-15 rounds and the per-round compute
+        # is a handful of [n, n] VPU passes, so the loop-condition sync
+        # is a significant fraction of the solve.  A round after
+        # convergence is a no-op (no unassigned rows -> no bids), so
+        # over-running by <= 2 rounds is harmless.
+        for _ in range(3):
+            state = round_(state)
+        return state
 
     init = (jnp.zeros((n,), jnp.float32),
             jnp.full((n,), -1, jnp.int32),

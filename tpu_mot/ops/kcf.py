@@ -118,36 +118,43 @@ def detect(model: KCFModel, feat: jnp.ndarray, sigma: float,
 
 def _resolve_impl(impl: str) -> str:
     if impl == "auto":
-        # "auto" currently resolves to the XLA einsum chain on every
-        # platform: the fused Pallas kernel (kernels/kcf.py) is ~3500x more
-        # accurate vs a float64 oracle but measured ~2x slower than the
-        # batched einsums at the bench shape (2026-08-16: 0.29 vs 0.15
-        # ms/frame detect @128 tracks) — select kcf_impl="pallas"
-        # explicitly for accuracy-critical runs until the kernel wins.
+        # "auto" resolves to the XLA einsum chain on every platform: the
+        # fused Pallas kernel (kernels/kcf.py) is ~3500x more accurate vs
+        # a float64 oracle but loses the full-pipeline bench at every
+        # swept (precision, track_block) point — best 2255 fps vs 3784
+        # for the einsums (tools/bench_kcf_pipeline_r2.log, 2026-08-16;
+        # the kernel is transpose/VPU-bound and forfeits cross-stage XLA
+        # fusion with windowing and peak/argmax).  Select
+        # kcf_impl="pallas" explicitly for accuracy-critical runs.
         return "xla"
     return impl
 
 
 def detect_auto(model: KCFModel, feat: jnp.ndarray, sigma: float,
-                impl: str = "auto") -> jnp.ndarray:
+                impl: str = "auto", precision: str = "highest",
+                block: int | None = None) -> jnp.ndarray:
     """detect() with implementation dispatch: "pallas" = the fused
     VMEM-resident kernel (kernels/kcf.py), "xla" = the einsum chain here,
-    "auto" = pallas on TPU, xla elsewhere."""
+    "auto" = pallas on TPU, xla elsewhere.  precision/block select the
+    kernel's MXU precision and tracks-per-program (kernels/kcf.py)."""
     if _resolve_impl(impl) == "pallas":
         from tpu_mot.kernels import kcf as kcf_kernels
-        return kcf_kernels.detect_fused(model, feat, sigma)
+        return kcf_kernels.detect_fused(model, feat, sigma,
+                                        precision=precision, block=block)
     return detect(model, feat, sigma)
 
 
 def train_blend_auto(model: KCFModel, feat: jnp.ndarray, yf: CF,
                      sigma: float, lambda_: float, lr,
-                     impl: str = "auto") -> KCFModel:
+                     impl: str = "auto", precision: str = "highest",
+                     block: int | None = None) -> KCFModel:
     """blend(model, train(feat), lr) with implementation dispatch (same
     convention as detect_auto)."""
     if _resolve_impl(impl) == "pallas":
         from tpu_mot.kernels import kcf as kcf_kernels
         return kcf_kernels.train_fused(model, feat, yf, sigma, lambda_,
-                                       jnp.asarray(lr, jnp.float32))
+                                       jnp.asarray(lr, jnp.float32),
+                                       precision=precision, block=block)
     return blend(model, train(feat, yf, sigma, lambda_), lr)
 
 

@@ -127,7 +127,14 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
                     f"({cfg.frame_height}, {cfg.frame_width}); the Pallas "
                     "ROI path requires them to match")
             from tpu_mot.kernels import roi as _roi
-            levels = _roi.build_pyramid(gray)
+            # A single-channel uint8 frame feeds the pyramid directly:
+            # level 0 is then a zero-copy pad of the ingest frame and the
+            # u8->f32 to_gray pass is dead code XLA eliminates (the f32
+            # gray is otherwise unused on the Pallas ROI path).  RGB /
+            # float frames go through the luma conversion as before.
+            pyr_src = (frame if (frame.ndim == 2
+                                 and frame.dtype == jnp.uint8) else gray)
+            levels = _roi.build_pyramid(pyr_src)
         else:
             levels = None
     else:
@@ -146,7 +153,9 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             feats = _features_at(gray, pred_boxes, cfg, levels)
             response = kcf_ops.detect_auto(bank.kcf, feats,
                                            cfg.kcf.kernel_sigma,
-                                           cfg.kcf_impl)
+                                           cfg.kcf_impl,
+                                           cfg.kcf_precision,
+                                           cfg.kcf_block)
             dy, dx, peak = kcf_ops.peak_displacement(response)
             best_scale = jnp.ones((t_cap,), jnp.float32)
             if cfg.confidence_mode == "psr":
@@ -163,7 +172,9 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
                                     scales=sc_arr)
                 r_sc = kcf_ops.detect_auto(bank.kcf, f_sc,
                                            cfg.kcf.kernel_sigma,
-                                           cfg.kcf_impl)
+                                           cfg.kcf_impl,
+                                           cfg.kcf_precision,
+                                           cfg.kcf_block)
                 results.append(kcf_ops.peak_displacement(r_sc))
                 if sc == 1.0:
                     response = r_sc
@@ -299,7 +310,8 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
                              cfg.kcf.output_sigma_factor)
         kcf_model = kcf_ops.train_blend_auto(
             bank.kcf, feats_new, yf, cfg.kcf.kernel_sigma,
-            cfg.kcf.lambda_, lr, cfg.kcf_impl)
+            cfg.kcf.lambda_, lr, cfg.kcf_impl,
+            cfg.kcf_precision, cfg.kcf_block)
     else:
         kcf_model = bank.kcf
 
