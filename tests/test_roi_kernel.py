@@ -80,6 +80,44 @@ def test_u8_pyramid_parity():
     np.testing.assert_allclose(l1, want_l1, atol=0.51 / 255.0)
 
 
+def test_u8_int8_dot_parity():
+    """The int8-MXU resample variant quantizes the hat weights to 1/127
+    steps; output must match the f32-dot u8 path within that budget
+    (pixel range [0,1], two weights per output row)."""
+    rng = np.random.default_rng(9)
+    frame_u8 = rng.integers(0, 256, (240, 384), dtype=np.uint8)
+    boxes = np.array([[70.0, 50.0, 20.0, 26.0],
+                      [200.0, 120.0, 40.0, 30.0]], np.float32)
+    levels = roi.build_pyramid(jnp.asarray(frame_u8))
+    base = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame_u8), jnp.asarray(boxes), 2.5, 64,
+        interpret=True, levels=levels, frame_hw=frame_u8.shape))
+    got = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame_u8), jnp.asarray(boxes), 2.5, 64,
+        interpret=True, levels=levels, frame_hw=frame_u8.shape,
+        dot_impl="int8"))
+    # Two rounded weights/row, each off by <= 0.5/127 on [0,1] pixels.
+    np.testing.assert_allclose(got, base, atol=1.2 / 127.0)
+
+
+def test_u8_colfirst_dot_parity():
+    """Column-first dot ordering is the same bilinear resample up to f32
+    summation order."""
+    rng = np.random.default_rng(10)
+    frame_u8 = rng.integers(0, 256, (240, 384), dtype=np.uint8)
+    boxes = np.array([[70.0, 50.0, 20.0, 26.0],
+                      [200.0, 120.0, 40.0, 30.0]], np.float32)
+    levels = roi.build_pyramid(jnp.asarray(frame_u8))
+    base = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame_u8), jnp.asarray(boxes), 2.5, 64,
+        interpret=True, levels=levels, frame_hw=frame_u8.shape))
+    got = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame_u8), jnp.asarray(boxes), 2.5, 64,
+        interpret=True, levels=levels, frame_hw=frame_u8.shape,
+        dot_impl="colfirst"))
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
+
+
 def test_u8_frame_through_tracker_step():
     """The fused step accepts uint8 frames on both ROI paths (the u8
     pyramid on pallas, to_gray on xla) and produces identical tracking to

@@ -74,6 +74,39 @@ def main() -> None:
                               "error": f"{type(e).__name__}: {e}"[:160]}),
                   flush=True)
 
+    # u8 pyramid variants: default dots / int8 first dot / no dots
+    # (diagnostic: attributes the kernel's DMA vs MXU split).
+    frame_u8 = jnp.asarray((np.asarray(gray) * 255).astype(np.uint8))
+    levels_u8 = roi_k.build_pyramid(frame_u8)
+    for di in ("default", "int8", "colfirst", "nodot"):
+        try:
+            def body_u8(b, _, di=di):
+                p = roi_k.extract_patches_pallas(
+                    frame_u8, b, padding, s, levels=levels_u8,
+                    frame_hw=(h, w), dot_impl=di)
+                return b + jnp.mean(p) * 1e-9, None
+            ms = measure(body_u8, boxes, lambda c: c[0, 0])
+            print(json.dumps({"variant": f"u8/{di}", "ms": round(ms, 4)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"variant": f"u8/{di}",
+                              "error": f"{type(e).__name__}: {e}"[:160]}),
+                  flush=True)
+
+    # u8 pyramid build cost (delta, as below but u8 chain).  The carry
+    # perturbation must be NONZERO or XLA hoists the whole body out of
+    # the scan (first attempt used `+ x*0` and measured 0.001 ms).
+    def body_u8_rebuild(carry, _):
+        g, b = carry
+        lv = roi_k.build_pyramid(g)
+        p = roi_k.extract_patches_pallas(g, b, padding, s, levels=lv,
+                                         frame_hw=(h, w))
+        return (g ^ (jnp.mean(p) > 1e9).astype(jnp.uint8), b), None
+    ms_u8_rb = measure(body_u8_rebuild, (frame_u8, boxes),
+                       lambda c: c[0][0, 0])
+    print(json.dumps({"variant": "u8_with_pyramid_rebuild",
+                      "ms": round(ms_u8_rb, 4)}), flush=True)
+
     # Pyramid cost via delta: rebuild levels every iteration (consumed by
     # the kernel, so the reduce_window chain cannot be pruned).
     def body_rebuild(carry, _):

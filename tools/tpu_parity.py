@@ -89,6 +89,25 @@ def check_roi():
     results["roi level0 shipped maxabs"] = float(err)
     assert err < 8e-3, f"shipped-config quantization out of budget: {err}"
 
+    # --- u8 ingest pyramid (the shipped default for uint8 frames) -------
+    # Level-0 u8 sampling dequantizes exactly (u8/255), so the only error
+    # vs the f32-gray oracle is the DEFAULT-precision dot rounding.
+    frame_u8 = jnp.asarray(
+        (np.asarray(gray) * 255.0).round().astype(np.uint8))
+    gray_q = frame_u8.astype(jnp.float32) / 255.0    # oracle sees u8 grid
+    want_q = np.asarray(jax.jit(
+        lambda g, b: patch.extract_patches(g, b, padding, size))(gray_q,
+                                                                 boxes))
+    levels_u8 = jax.jit(roi.build_pyramid)(frame_u8)
+    assert all(lv.dtype == jnp.uint8 for lv in levels_u8)
+    got_u8 = np.asarray(jax.jit(
+        lambda f, b, ls: roi.extract_patches_pallas(
+            f, b, padding, size, levels=ls, frame_hw=(h, w)))(
+        frame_u8, boxes, levels_u8))
+    err = np.abs(got_u8 - want_q).max()
+    results["roi level0 u8-pyramid maxabs"] = float(err)
+    assert err < 8e-3, f"u8-pyramid parity out of budget: {err}"
+
     # --- big boxes -> higher mip levels ---------------------------------
     # Oracle = XLA bilinear sampling of the SAME pyramid level with the
     # SAME coordinate mapping — this isolates Mosaic correctness (window

@@ -119,7 +119,8 @@ _DOT_PRECISION = jax.lax.Precision.DEFAULT
 
 def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
                 l0, l1, l2, l3, out_ref, scratch, sem,
-                tpp: int = None, nbuf: int = None, scale: float = 1.0):
+                tpp: int = None, nbuf: int = None, scale: float = 1.0,
+                dot_impl: str = "default"):
     g = pl.program_id(0)
     levels = (l0, l1, l2, l3)
     tpp = tpp or TRACKS_PER_PROG
@@ -170,19 +171,56 @@ def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
         xs = xs_ref[t, :] - c0f                       # [S] block-local cols
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_iota))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - col_iota))
-        if scale != 1.0:
-            # u8 pyramid dequantization (1/255) folded into the row
-            # weights — free relative to a separate elementwise pass over
-            # the block.
-            wy = wy * scale
         blk = scratch[slot]
-        if blk.dtype == jnp.uint8:
-            # Mosaic has no direct u8->f32 cast (NotImplementedError);
-            # widen through int32 first (verified supported, 2026-08-16).
-            blk = blk.astype(jnp.int32)
-        tmp = jnp.dot(wy, blk.astype(jnp.float32),
-                      preferred_element_type=jnp.float32,
-                      precision=_DOT_PRECISION)
+        if dot_impl == "nodot":
+            # Diagnostic only: skip the resample dots to attribute the
+            # kernel's DMA vs MXU split (output is garbage).
+            b32 = blk[0:out_ref.shape[1], 0:out_ref.shape[2]]
+            if b32.dtype == jnp.uint8:
+                b32 = b32.astype(jnp.int32)
+            out_ref[k] = b32.astype(jnp.float32) * scale + wy[0, 0] + wx[0, 0]
+            continue
+        if dot_impl == "int8" and blk.dtype == jnp.uint8:
+            # Row resample on the int8 MXU (2x the bf16 rate): quantize
+            # the hat weights to 1/127 steps (<=0.4% — the same class as
+            # the DEFAULT-precision bf16 rounding of the f32 path) and
+            # center the u8 pixels at zero so they fit int8:
+            #   wy @ blk/255 = (wq @ (blk-128) + 128*rowsum(wq)) / (127*255)
+            wq = (wy * 127.0 + 0.5).astype(jnp.int8)
+            x128 = (blk.astype(jnp.int32) - 128).astype(jnp.int8)
+            c = jax.lax.dot_general(wq, x128, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            rsq = jnp.sum(wq.astype(jnp.int32), axis=1, keepdims=True)
+            tmp = (c + 128 * rsq).astype(jnp.float32) * (1.0 / (127.0 * 255.0))
+        elif dot_impl == "colfirst":
+            # Contract the column axis first: [R, C] @ [C, S] runs the
+            # MXU at K=256 (two full passes) and shrinks the second dot
+            # to [S, R] @ [R, S] — 5.9 vs 6.8 MFLOP per track.
+            if scale != 1.0:
+                wy = wy * scale
+            if blk.dtype == jnp.uint8:
+                blk = blk.astype(jnp.int32)
+            tmpc = jax.lax.dot_general(blk.astype(jnp.float32), wx,
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=_DOT_PRECISION)
+            out_ref[k] = jnp.dot(wy, tmpc,
+                                 preferred_element_type=jnp.float32,
+                                 precision=_DOT_PRECISION)
+            continue
+        else:
+            if scale != 1.0:
+                # u8 pyramid dequantization (1/255) folded into the row
+                # weights — free relative to a separate elementwise pass
+                # over the block.
+                wy = wy * scale
+            if blk.dtype == jnp.uint8:
+                # Mosaic has no direct u8->f32 cast (NotImplementedError);
+                # widen through int32 first (verified, 2026-08-16).
+                blk = blk.astype(jnp.int32)
+            tmp = jnp.dot(wy, blk.astype(jnp.float32),
+                          preferred_element_type=jnp.float32,
+                          precision=_DOT_PRECISION)
         out = jax.lax.dot_general(tmp, wx, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32,
                                   precision=_DOT_PRECISION)
@@ -211,7 +249,8 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
                            interpret: bool = False,
                            levels=None, frame_hw=None,
                            dtype=None, tracks_per_prog: int | None = None,
-                           n_buffers: int | None = None) -> jnp.ndarray:
+                           n_buffers: int | None = None,
+                           dot_impl: str = "default") -> jnp.ndarray:
     """Pallas ROI extraction: [H, W] frame + [T, 4] boxes → [T, S, S].
 
     Equivalent to ops.patch.extract_patches up to the mip-level resampling
@@ -283,7 +322,8 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
     )
     scale = 1.0 / 255.0 if levels[0].dtype == jnp.uint8 else 1.0
     out = pl.pallas_call(
-        functools.partial(_roi_kernel, tpp=tpp, nbuf=nbuf, scale=scale),
+        functools.partial(_roi_kernel, tpp=tpp, nbuf=nbuf, scale=scale,
+                          dot_impl=dot_impl),
         out_shape=jax.ShapeDtypeStruct((t_pad, size, size), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
