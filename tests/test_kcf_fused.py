@@ -80,3 +80,46 @@ def test_fused_roundtrip_tracks_shift():
     assert abs(float(dy[0]) - 3) < 0.5, float(dy[0])
     assert abs(float(dx[0]) + 2) < 0.5, float(dx[0])
     assert float(peak[0]) > 0.5
+
+
+def test_full_tracker_impl_equality():
+    """Whole-pipeline cross-check: the fused Pallas KCF impl and the XLA
+    einsum chain must produce the same tracks through the public step on
+    a real multi-frame scene (same matches, boxes within fp tolerance).
+    This guards the impl dispatch plumbing (config knobs -> kernels) that
+    the per-op parity tests cannot see."""
+    import jax
+    import numpy as np
+    from tpu_mot.config import KCFConfig, TrackerConfig
+    from tpu_mot.data import synthetic
+    from tpu_mot.tracker import bank as bank_mod
+    from tpu_mot.tracker import step as step_mod
+
+    rng = np.random.default_rng(11)
+    objs = synthetic.make_objects(6, 120, 160, rng, min_size=12,
+                                  max_size=24, max_speed=2.0)
+    frames, gt, vis = synthetic.render_sequence(objs, 8, 120, 160, seed=2,
+                                                noise=0.01)
+    dets = synthetic.detections_from_gt(gt, vis, seed=2,
+                                        frame_hw=(120, 160))
+    from tpu_mot.tracker.api import pad_detections
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = TrackerConfig(
+            kcf=KCFConfig(template_size=32), max_tracks=8,
+            max_detections=8, frame_height=120, frame_width=160,
+            roi_impl="xla", kcf_impl=impl)
+        bank = bank_mod.empty_bank(cfg)
+        boxes_seq, ids_seq = [], []
+        for f in range(8):
+            d, v = pad_detections(dets[f], 8)
+            bank, out = step_mod.step(bank, jnp.asarray(frames[f]),
+                                      jnp.asarray(d), jnp.asarray(v), cfg)
+            boxes_seq.append(np.asarray(out.boxes))
+            ids_seq.append(np.asarray(out.ids))
+        outs[impl] = (np.stack(boxes_seq), np.stack(ids_seq))
+
+    np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])
+    np.testing.assert_allclose(outs["xla"][0], outs["pallas"][0],
+                               rtol=1e-3, atol=5e-2)

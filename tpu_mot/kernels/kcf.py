@@ -257,7 +257,7 @@ def _pad_tracks(arrs, t: int, tb: int):
 
 
 def detect_fused(model: KCFModel, feat: jnp.ndarray, sigma: float,
-                 interpret: bool = False, precision: str = "highest",
+                 interpret: bool | None = None, precision: str = "highest",
                  block: int | None = None) -> jnp.ndarray:
     """Fused correlation response of the model bank (ops/kcf.detect parity).
 
@@ -266,6 +266,10 @@ def detect_fused(model: KCFModel, feat: jnp.ndarray, sigma: float,
         einsum chain) or "default" (single-pass bf16 MXU, ~3x cheaper dots).
     block : tracks per grid program (default TRACK_BLOCK).
     """
+    if interpret is None:
+        # Mosaic only exists on TPU; on the CPU tier the kernel runs in
+        # interpreter mode so kcf_impl="pallas" works everywhere.
+        interpret = jax.default_backend() == "cpu"
     t, nc, s, _ = feat.shape
     sf = s // 2 + 1
     tb = min(block or TRACK_BLOCK, t)
@@ -289,7 +293,7 @@ def detect_fused(model: KCFModel, feat: jnp.ndarray, sigma: float,
 
 def train_fused(model: KCFModel, feat: jnp.ndarray, yf: CF, sigma: float,
                 lambda_: float, lr: jnp.ndarray,
-                interpret: bool = False, precision: str = "highest",
+                interpret: bool | None = None, precision: str = "highest",
                 block: int | None = None) -> KCFModel:
     """Fused train + EMA blend (ops/kcf.train ∘ blend parity).
 
@@ -297,6 +301,8 @@ def train_fused(model: KCFModel, feat: jnp.ndarray, yf: CF, sigma: float,
     learning rate (1.0 births / interp matched / 0.0 dead).
     precision/block: see detect_fused.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     t, nc, s, _ = feat.shape
     sf = s // 2 + 1
     tb = min(block or TRACK_BLOCK, t)
