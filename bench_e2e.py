@@ -92,7 +92,10 @@ def main() -> None:
         for _ in range(n):
             dets, valid = detect_once(det.params, f)
             # Serialize: next rep's frames depend on this rep's output.
-            f = f + jnp.sum(dets) * 1e-12
+            # The perturbation must keep the uint8 dtype — `f + eps`
+            # promotes to f32 and silently re-traces/measures the f32
+            # detector variant instead of the u8 ingest path.
+            f = f ^ (jnp.sum(dets) > 1e30).astype(f.dtype)
         float(jnp.sum(dets))                        # forced fetch
         return time.perf_counter() - t0
 

@@ -22,9 +22,10 @@ are already batched):
        [P|Q]   = x @ [BrT|BiT]                  (forward columns)
        [..4..] = [Pᵀ;Qᵀ] @ [F|Fi]               (forward rows, N = 2S)
     exploiting that DFT matrices are symmetric (Fᵀ = F).
-  * All dots are batched over a TRACK BLOCK (TB = 8 tracks/program) by
-    flattening the block into the M dimension: [TB·S, S] @ [S, 2S] shapes
-    run the 128×128 systolic array near-full instead of 64-wide.
+  * All dots are batched over a TRACK BLOCK (TRACK_BLOCK = 16
+    tracks/program, swept; ~1 MB of block inputs) by flattening the block
+    into the M dimension: [TB·S, S] @ [S, 2S] shapes run the 128×128
+    systolic array near-full instead of 64-wide.
   * Spectra live TRANSPOSED ([Sf, S]) between the two dots of a transform,
     so every dot is a right-multiplication and batches over tracks; the
     per-track transposes are minor-dim swaps on VMEM-resident tiles.

@@ -20,16 +20,20 @@ from tpu_mot.ops.nms import nms_classwise
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "max_out", "iou_thr",
-                                    "score_thr", "frame_hw", "nms_impl"))
+                                    "score_thr", "frame_hw", "nms_impl",
+                                    "pre_top_k"))
 def detect_batch(params, frames: jnp.ndarray, spec: YoloSpec,
                  frame_hw: tuple, max_out: int = 64,
                  iou_thr: float = 0.45, score_thr: float = 0.3,
-                 nms_impl: str = "greedy"):
+                 nms_impl: str = "greedy", pre_top_k: int | None = None):
     """frames [B, H, W] or [B, H, W, 3] (uint8/float) → padded detections.
 
     Returns (dets [B, max_out, 5] (cx, cy, w, h, score) in FRAME pixels,
              valid [B, max_out] bool, classes [B, max_out] int32).
-    nms_impl: "greedy" (exact) or "fast" (parallel; see ops.nms.fast_nms).
+    nms_impl: "greedy" (exact up to the top-K prefilter contract on
+    ops.nms.nms) or "fast" (parallel; see ops.nms.fast_nms).
+    pre_top_k: NMS candidate prefilter; pass a value >= the anchor count
+    for unconditionally exact greedy NMS.
     """
     f = frames.astype(jnp.float32)
     if frames.dtype == jnp.uint8:
@@ -59,7 +63,7 @@ def detect_batch(params, frames: jnp.ndarray, spec: YoloSpec,
 
     def one(bx, sc, cl):
         idx, valid = nms_classwise(bx, sc, cl, max_out, iou_thr, score_thr,
-                                   impl=nms_impl)
+                                   impl=nms_impl, pre_top_k=pre_top_k)
         safe = jnp.clip(idx, 0, bx.shape[0] - 1)
         out_boxes = bx[safe]
         out_scores = jnp.where(valid, sc[safe], 0.0)

@@ -26,16 +26,32 @@ _lib = None
 
 
 def ensure_built(quiet: bool = True) -> bool:
-    """Build/refresh libtpumot.so (make no-ops when current). Returns
-    availability."""
+    """Build/refresh libtpumot.so. Returns availability.
+
+    Fast path: when the .so is newer than every src/*.cc and the
+    Makefile, skip the make subprocess entirely — spawning make on every
+    fresh process (pytest workers, CLI runs, schedulers) costs real time
+    and fails noisily on hosts without a toolchain."""
     global _lib
-    if _lib is None:
+    if _lib is None and not _so_current():
         try:
             subprocess.run(["make", "-C", _DIR],
                            capture_output=quiet, check=True)
         except Exception:
             pass                      # fall through to any existing .so
     return _load()
+
+
+def _so_current() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return False
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    deps = [os.path.join(_DIR, "Makefile")]
+    src = os.path.join(_DIR, "src")
+    if os.path.isdir(src):
+        deps += [os.path.join(src, f) for f in os.listdir(src)]
+    return all(os.path.getmtime(d) <= so_mtime
+               for d in deps if os.path.exists(d))
 
 
 def _load() -> bool:
@@ -162,9 +178,11 @@ class FrameRing:
         if got == 0:
             return None
         if got < 0:
+            # The native side returns a flat -1 for a frame larger than
+            # the caller's buffer (ingest.cc), not a byte count.
             raise ValueError(
-                f"ring frame ({-got} bytes) larger than pop buffer "
-                f"({out.nbytes} bytes)")
+                f"stored ring frame is larger than the pop buffer "
+                f"({out.nbytes} bytes) — mismatched frame geometry")
         return out
 
     def __len__(self):
@@ -217,6 +235,11 @@ class StreamScheduler:
         if buf.nbytes != self.frame_bytes:
             raise ValueError(f"frame is {buf.nbytes} bytes, expected "
                              f"{self.frame_bytes}")
+        if not (0 <= stream < self.n_streams):
+            # Match the native backend's bounds behavior (scheduler.cc
+            # returns 0) instead of raising IndexError only on the
+            # Python fallback.
+            return False
         if self._native:
             return bool(_lib.tpumot_sched_push(
                 self._ptr, stream,

@@ -135,8 +135,9 @@ def detect_auto(model: KCFModel, feat: jnp.ndarray, sigma: float,
                 block: int | None = None) -> jnp.ndarray:
     """detect() with implementation dispatch: "pallas" = the fused
     VMEM-resident kernel (kernels/kcf.py), "xla" = the einsum chain here,
-    "auto" = pallas on TPU, xla elsewhere.  precision/block select the
-    kernel's MXU precision and tracks-per-program (kernels/kcf.py)."""
+    "auto" = xla on every platform (see _resolve_impl: the fused kernel
+    is far more accurate but loses the pipeline bench).  precision/block
+    select the kernel's MXU precision and tracks-per-program."""
     if _resolve_impl(impl) == "pallas":
         from tpu_mot.kernels import kcf as kcf_kernels
         return kcf_kernels.detect_fused(model, feat, sigma,

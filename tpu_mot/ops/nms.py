@@ -27,10 +27,15 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, max_out: int,
     8*max_out, capped at N) before the [K, K] IoU precompute: the raw YOLO
     head emits N=2535 anchors at 416 px, and a full [N, N] IoU is 26 MB of
     HBM traffic per frame (822 MB for a 32-frame batch) — the standard
-    top-K prefilter bounds it at [512, 512] with no effect on results
-    (a box outside the top 8*max_out cannot enter a max_out-sized output
-    unless more than 7*max_out higher-scored boxes were suppressed, which
-    greedy NMS at iou_thr < 1 cannot do at these densities).
+    top-K prefilter (TF combined_non_max_suppression and torchvision
+    batched NMS do the same) bounds it at [512, 512].
+
+    Exactness contract: the result equals unfiltered greedy NMS unless
+    greedy suppresses more than K - max_out of the top-K candidates —
+    i.e. a pathologically crowded same-class scene where > 7*max_out of
+    the highest-scored boxes collapse onto < max_out keeps AND real
+    detections rank below K.  Pass pre_top_k >= N to disable the filter
+    and make the loop exact unconditionally.
     """
     n = boxes.shape[0]
     k = min(n, pre_top_k if pre_top_k is not None else 8 * max_out)
@@ -104,13 +109,18 @@ def fast_nms(boxes: jnp.ndarray, scores: jnp.ndarray, max_out: int,
 def nms_classwise(boxes: jnp.ndarray, scores: jnp.ndarray,
                   classes: jnp.ndarray, max_out: int,
                   iou_thr: float = 0.45, score_thr: float = 0.0,
-                  impl: str = "greedy"):
+                  impl: str = "greedy",
+                  pre_top_k: int | None = None):
     """Class-aware NMS: boxes of different classes never suppress each
     other (the standard YOLO postprocess).  Implemented by offsetting box
     centers per class so cross-class IoU is zero.
 
-    impl: "greedy" (exact, sequential) or "fast" (parallel relaxation)."""
+    impl: "greedy" (sequential; exact up to the top-K prefilter contract
+    documented on nms()) or "fast" (parallel relaxation).
+    pre_top_k: forwarded to the implementation; pass >= N for
+    unconditionally exact greedy."""
     offset = classes.astype(jnp.float32) * 1e5
     shifted = boxes.at[:, 0].add(offset)
     fn = fast_nms if impl == "fast" else nms
-    return fn(shifted, scores, max_out, iou_thr, score_thr)
+    return fn(shifted, scores, max_out, iou_thr, score_thr,
+              pre_top_k=pre_top_k)
