@@ -63,6 +63,41 @@ def test_nms_top_k_prefilter_matches_full():
     np.testing.assert_array_equal(np.asarray(idx_full), np.asarray(idx_pre))
 
 
+def test_nms_prefilter_contract_crowded_scene():
+    """The documented exactness boundary of the top-K prefilter: a scene
+    where greedy suppression inside the top-K exceeds K - max_out starves
+    the prefiltered output, and pre_top_k >= N restores exact greedy.
+    (Found in the r2 self-review: the old docstring claimed this was
+    impossible.)"""
+    rng = np.random.default_rng(4)
+    max_out = 4
+    k_default = 8 * max_out                       # 32
+    # 2 clusters x 40 near-identical high-scored boxes: greedy collapses
+    # the whole top-32 to 2 keeps (30 suppressed > K - max_out = 28)...
+    clusters = []
+    for cx in (100.0, 300.0):
+        c = np.tile([cx, 100.0, 30.0, 30.0], (40, 1))
+        c[:, :2] += rng.uniform(-1, 1, (40, 2))
+        clusters.append(c)
+    # ...while 4 isolated real detections rank below the top-32.
+    iso = np.array([[60.0, 300, 20, 20], [160, 300, 20, 20],
+                    [260, 300, 20, 20], [360, 300, 20, 20]])
+    boxes = np.concatenate(clusters + [iso]).astype(np.float32)
+    scores = np.concatenate([rng.uniform(0.8, 0.9, 80),
+                             np.full(4, 0.5)]).astype(np.float32)
+    bj, sj = jnp.asarray(boxes), jnp.asarray(scores)
+    idx_pre, val_pre = nms_ops.nms(bj, sj, max_out, iou_thr=0.5,
+                                   score_thr=0.1)
+    idx_full, val_full = nms_ops.nms(bj, sj, max_out, iou_thr=0.5,
+                                     score_thr=0.1, pre_top_k=len(boxes))
+    # Prefiltered: only the 2 cluster winners survive (output starved).
+    assert int(np.asarray(val_pre).sum()) == 2
+    # Exact: 2 cluster winners + 2 isolated boxes fill max_out.
+    assert int(np.asarray(val_full).sum()) == max_out
+    kept_full = set(np.asarray(idx_full)[np.asarray(val_full)].tolist())
+    assert len(kept_full & {80, 81, 82, 83}) == 2
+
+
 def test_nms_classwise_keeps_other_classes():
     boxes = jnp.asarray([[100.0, 100, 20, 20], [102.0, 100, 20, 20]])
     scores = jnp.asarray([0.9, 0.8])
