@@ -104,3 +104,34 @@ def test_video_roundtrip_and_chunked_pipeline(tmp_path):
     chunks = list(ChunkedVideoPipeline(back, chunk=4))
     assert [len(c) for c in chunks] == [4, 4, 1]
     np.testing.assert_array_equal(np.concatenate(chunks), back)
+
+
+def test_cli_eval_aggregate(mot_dir, tmp_path, capsys):
+    """`tpu_mot eval --root` runs every sequence under a root and prints
+    per-sequence + OVERALL CLEAR-MOT rows (error-sum aggregation)."""
+    import json
+    import shutil
+    from tpu_mot.cli import main
+
+    root = tmp_path / "train"
+    root.mkdir()
+    # Two copies of the synthetic sequence = a 2-sequence benchmark dir.
+    shutil.copytree(mot_dir, root / "SEQ-01")
+    shutil.copytree(mot_dir, root / "SEQ-02")
+    out_dir = str(tmp_path / "res")
+    rc = main(["eval", "--root", str(root), "--out-dir", out_dir,
+               "--max-tracks", "16", "--max-dets", "16"])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")]
+    names = [r["seq"] for r in rows]
+    assert names == ["SEQ-01", "SEQ-02", "OVERALL"]
+    overall = rows[-1]
+    assert overall["sequences"] == 2
+    # Identical sequences: aggregate MOTA equals the per-seq MOTA and the
+    # tracker must actually track (well above chance).
+    assert abs(overall["mota"] - rows[0]["mota"]) < 1e-6
+    assert overall["mota"] > 0.5
+    assert os.path.exists(os.path.join(out_dir, "SEQ-01.txt"))
+    assert os.path.exists(os.path.join(out_dir, "SEQ-02.txt"))

@@ -84,12 +84,6 @@ def main() -> None:
             dict.__setitem__(self, k, v)
     stages = Stages()
 
-    # Pyramid build (once per frame in the step).
-    def pyr_body(g, _):
-        lv = roi_k.build_pyramid(g)
-        return g + lv[-1][0, 0].astype(jnp.float32) * 1e-9, None
-    stages["pyramid_build_1080p"] = measure(pyr_body, gray, lambda c: c[0, 0])
-
     # ROI extraction, 128 boxes from the prebuilt pyramid (one site).
     def roi_body(b, _):
         p = roi_k.extract_patches_pallas(gray, b, cfg.kcf.padding, s,
@@ -97,6 +91,20 @@ def main() -> None:
         return b + jnp.mean(p) * 1e-9, None
     stages["roi_extract_128"] = measure(roi_body, boxes,
                                         lambda c: c[0, 0])
+
+    # Pyramid build (once per frame in the step), via the rebuild DELTA:
+    # a naive chain consuming one element of the levels lets XLA DCE the
+    # whole reduce_window chain (first attempt measured ~0 ms); feeding
+    # the rebuilt levels into the ROI kernel (opaque HBM refs) keeps it.
+    def pyr_roi_body(carry, _):
+        g, b = carry
+        lv = roi_k.build_pyramid(g)
+        p = roi_k.extract_patches_pallas(g, b, cfg.kcf.padding, s,
+                                         levels=lv, frame_hw=(h, w))
+        return (g + jnp.mean(p) * 1e-9, b), None
+    ms_both = measure(pyr_roi_body, (gray, boxes), lambda c: c[0][0, 0])
+    stages["pyramid_build_1080p (delta)"] = (
+        ms_both - stages["roi_extract_128"])
 
     # Feature windowing (hann + normalize); carry is [T, S, S] patches.
     def feat_body(p, _):
@@ -113,7 +121,10 @@ def main() -> None:
                                             lambda c: c[0, 0, 0, 0])
 
     def trn_body(m, _):
-        return kcf_ops.blend(m, kcf_ops.train(feat0, yf, 0.2, 1e-4), lr), None
+        # Features must depend on the carry or XLA hoists the entire
+        # train() out of the scan (first attempt measured ~0 ms).
+        f = feat0 * (1.0 + jnp.mean(m.alphaf.re) * 1e-9)
+        return kcf_ops.blend(m, kcf_ops.train(f, yf, 0.2, 1e-4), lr), None
     stages["kcf_train_math_xla"] = measure(trn_body, model0,
                                            lambda m: m.alphaf.re[0, 0, 0])
 

@@ -3,6 +3,7 @@
 annotated video, metrics).
 
   python -m tpu_mot mot --seq /data/MOT16/train/MOT16-02 --out res.txt
+  python -m tpu_mot eval --root /data/MOT16/train --out-dir results/
   python -m tpu_mot mot --synthetic --score
   python -m tpu_mot otb --seq /data/OTB/Basketball --box 198,214,34,81
   python -m tpu_mot video --input in.mp4 --weights yolov3-tiny.weights
@@ -138,6 +139,76 @@ def cmd_mot(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Benchmark-suite evaluation: every MOT sequence under --root is
+    tracked with one shared config, per-sequence CLEAR-MOT is printed,
+    and the aggregate is the error-sum form MOTA = 1 - sum(fp+fn+idsw)/
+    sum(n_gt) (the standard multi-sequence MOTChallenge aggregation, not
+    a mean of per-sequence MOTAs)."""
+    from tpu_mot.data import mot as mot_data
+    from tpu_mot.tracker import scan
+    from tpu_mot.utils import metrics as metrics_mod
+
+    seqs = sorted(
+        d for d in (os.path.join(args.root, n)
+                    for n in os.listdir(args.root))
+        if os.path.isdir(os.path.join(d, "img1"))
+        and os.path.exists(os.path.join(d, "det", "det.txt")))
+    if not seqs:
+        print(f"no MOT sequences under {args.root} (need <seq>/img1 + "
+              "<seq>/det/det.txt)", file=sys.stderr)
+        return 1
+    tot = {"fp": 0, "fn": 0, "idsw": 0, "n_gt": 0}
+    n_frames_total, t_total = 0, 0.0
+    for seq in seqs:
+        name = os.path.basename(seq)
+        frames = mot_data.load_image_sequence(os.path.join(seq, "img1"),
+                                              limit=args.frames)
+        dets = mot_data.load_mot_dets(os.path.join(seq, "det", "det.txt"),
+                                      score_min=args.det_min)
+        dets = dets[: len(frames)]
+        while len(dets) < len(frames):
+            dets.append(np.zeros((0, 5), np.float32))
+        h, w = frames.shape[1:3]
+        cfg = _make_cfg(args, h, w)
+        t0 = time.perf_counter()
+        _, tracks, _ = scan.track_sequence(frames, dets, cfg,
+                                           chunk=args.chunk)
+        dt = time.perf_counter() - t0
+        n_frames_total += len(frames)
+        t_total += dt
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            mot_data.write_mot_results(
+                os.path.join(args.out_dir, f"{name}.txt"), tracks)
+        gt_file = os.path.join(seq, "gt", "gt.txt")
+        if not os.path.exists(gt_file):
+            print(json.dumps({"seq": name, "frames": len(frames),
+                              "fps": round(len(frames) / dt, 1),
+                              "gt": None}))
+            continue
+        gt = mot_data.load_mot_gt(gt_file)[: len(frames)]
+        hyp = [(np.asarray([t[0] for t in tr]),
+                np.asarray([t[1] for t in tr]).reshape(-1, 4))
+               for tr in tracks]
+        m = metrics_mod.clear_mot(gt, hyp)
+        for k in tot:
+            tot[k] += int(m[k])
+        print(json.dumps({"seq": name, "frames": len(frames),
+                          "fps": round(len(frames) / dt, 1),
+                          "mota": round(float(m["mota"]), 4),
+                          "idf1": round(float(m["idf1"]), 4),
+                          "fp": int(m["fp"]), "fn": int(m["fn"]),
+                          "idsw": int(m["idsw"])}))
+    agg_mota = (1.0 - (tot["fp"] + tot["fn"] + tot["idsw"])
+                / max(tot["n_gt"], 1))
+    print(json.dumps({"seq": "OVERALL", "sequences": len(seqs),
+                      "frames": n_frames_total,
+                      "fps": round(n_frames_total / max(t_total, 1e-9), 1),
+                      "mota": round(agg_mota, 4), **tot}))
+    return 0
+
+
 def cmd_otb(args) -> int:
     from tpu_mot.config import KCFConfig
     from tpu_mot.data import mot as mot_data
@@ -231,6 +302,18 @@ def main(argv=None) -> int:
     p.add_argument("--score", action="store_true",
                    help="report CLEAR-MOT metrics vs gt")
     p.set_defaults(fn=cmd_mot)
+
+    p = sub.add_parser("eval", help="evaluate every MOT sequence under a "
+                                    "root dir; aggregate CLEAR-MOT")
+    _add_common(p)
+    p.add_argument("--root", required=True,
+                   help="dir of MOT sequences (e.g. MOT16/train)")
+    p.add_argument("--frames", type=int, default=None,
+                   help="per-sequence frame cap")
+    p.add_argument("--det-min", type=float, default=0.0)
+    p.add_argument("--out-dir", default=None,
+                   help="write <seq>.txt MOT results here")
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("otb", help="single-object KCF on an image sequence")
     p.add_argument("--seq", required=True, help="image directory")
