@@ -116,11 +116,19 @@ def test_dp_train_step_matches_single_device(ndev):
                         jax.device_put(jnp.asarray(images), bsh),
                         [jax.device_put(jnp.asarray(t), bsh)
                          for t in targets])
-    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    # rtol: BatchNorm in train mode (r2) reduces batch statistics across
+    # the sharded batch axis; GSPMD's all-reduce order differs from the
+    # single-device reduction, moving the loss by ~1e-5 rel (benign
+    # summation-order numerics — the statistics themselves are global
+    # either way under jit+GSPMD).
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
     p1 = jax.tree.leaves(s1[0])[0]
     p2 = jax.tree.leaves(s2[0])[0]
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4,
-                               atol=1e-6)
+    # atol: the BN batch-stat reductions (r2) shift per-parameter grads
+    # by reduction order; Adam normalization amplifies that to ~1e-4 abs
+    # on this toy scale.
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-3,
+                               atol=3e-4)
 
 
 def test_shared_detector_batch_equals_dp(ndev):

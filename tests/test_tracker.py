@@ -313,7 +313,8 @@ def test_default_config_survives_occlusion_window():
                                         frame_hw=(240, 320))
     cfg = TrackerConfig(max_tracks=16, max_detections=16,
                         frame_height=240, frame_width=320, roi_impl="xla")
-    assert cfg.confidence_mode == "psr" and cfg.min_psr > 0  # the defaults
+    assert cfg.confidence_mode == "psr"
+    assert cfg.confidence_threshold > 0  # per-mode resolved default
     _, tracks, _ = scan.track_sequence(frames, dets, cfg)
     gt = [(np.where(vis[f])[0], boxes[f, np.where(vis[f])[0]])
           for f in range(45)]

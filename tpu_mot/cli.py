@@ -112,7 +112,7 @@ def cmd_mot(args) -> int:
         dets = dets[: len(frames)]
         while len(dets) < len(frames):
             dets.append(np.zeros((0, 5), np.float32))
-        gt = (mot_data.load_mot_gt(gt_file)[: len(frames)]
+        gt = (mot_data.load_mot_gt(gt_file, n_frames=len(frames))
               if os.path.exists(gt_file) else None)
 
     h, w = frames.shape[1:3]
@@ -187,7 +187,7 @@ def cmd_eval(args) -> int:
                               "fps": round(len(frames) / dt, 1),
                               "gt": None}))
             continue
-        gt = mot_data.load_mot_gt(gt_file)[: len(frames)]
+        gt = mot_data.load_mot_gt(gt_file, n_frames=len(frames))
         hyp = [(np.asarray([t[0] for t in tr]),
                 np.asarray([t[1] for t in tr]).reshape(-1, 4))
                for tr in tracks]

@@ -126,7 +126,10 @@ class TrackerConfig:
     # occlusion+clutter fixture psr>=5 lifts MOTA 0.73->0.80 and halves ID
     # switches vs the ungated 0.0 default it replaces; PSR is
     # scale-invariant where raw-peak thresholds drift with feature type.
-    min_psr: float = 5.0
+    # None = per-mode validated default (psr: 5.0, peak: 0.35) — a fixed
+    # numeric default cannot serve both modes (raw peaks are <= ~1, so a
+    # PSR-calibrated 5.0 would silently disable KCF in peak mode).
+    min_psr: float | None = None
     confidence_mode: str = "psr"
     # Detection confidence floor.
     det_score_min: float = 0.0
@@ -180,6 +183,13 @@ class TrackerConfig:
         # level caps the search window it can cover (kernels/roi.py
         # N_LEVELS/MAX_WIN: 128 * 2**3 = 1024 px); larger windows clamp to
         # the deepest level — a documented soft limit, not a config error.
+
+    @property
+    def confidence_threshold(self) -> float:
+        """min_psr resolved per confidence_mode (see min_psr comment)."""
+        if self.min_psr is not None:
+            return self.min_psr
+        return 5.0 if self.confidence_mode == "psr" else 0.35
 
     def replace(self, **kw) -> "TrackerConfig":
         return dataclasses.replace(self, **kw)

@@ -54,14 +54,19 @@ def load_mot_dets(path: str, score_min: float = -1e9):
 
 
 def load_mot_gt(path: str, min_visibility: float = 0.0,
-                pedestrian_only: bool = True):
+                pedestrian_only: bool = True,
+                n_frames: int | None = None):
     """Parse gt.txt → list over frames of (ids [N], boxes [N, 4] cxcywh).
 
     MOT16 gt columns: frame, id, x, y, w, h, active, class, visibility.
+    n_frames: pad/extend to exactly this many frames — gt.txt is only
+    dense up to its LAST annotated frame, so a clip whose objects all
+    exit early would otherwise come back shorter than the image sequence
+    and crash clear_mot's length assertion.
     """
     raw = np.loadtxt(path, delimiter=",", ndmin=2)
     frames = raw[:, 0].astype(int)
-    n_frames = frames.max()
+    n_frames = n_frames or frames.max()
     out = []
     for f in range(1, n_frames + 1):
         rows = raw[frames == f]

@@ -41,6 +41,12 @@ class YoloSpec:
     input_size: int = 416
     anchors: tuple = YOLOV3_TINY_ANCHORS
     dtype: str = "float32"      # conv compute dtype ("bfloat16" for MXU)
+    # BatchNorm running-stats momentum: 0.99 matches darknet for long
+    # training runs; small/fast fine-tunes want ~0.9 so the running
+    # stats converge to the batch stats the train-mode network learned
+    # against (the train/eval gap at 0.99 needs thousands of steps to
+    # close).
+    bn_momentum: float = 0.99
 
     @property
     def strides(self) -> tuple:
@@ -55,15 +61,20 @@ class ConvBlock(nn.Module):
     use_bn: bool = True
     act: bool = True
     dtype: jnp.dtype = jnp.float32
+    bn_momentum: float = 0.99
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding="SAME", use_bias=not self.use_bn,
                     dtype=self.dtype, name="conv")(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=True, momentum=0.99,
+            # train=True uses batch statistics and updates the running
+            # mean/var (apply with mutable=["batch_stats"]); inference
+            # uses the stored running statistics.
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum,
                              epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         if self.act:
             x = nn.leaky_relu(x, 0.1)
@@ -79,12 +90,14 @@ class YoloV3Tiny(nn.Module):
     spec: YoloSpec
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         dt = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
         nc = self.spec.num_classes
         n_anchor0 = len(self.spec.anchors[0])
         n_anchor1 = len(self.spec.anchors[1])
-        c = lambda f, k=3, **kw: ConvBlock(f, k, dtype=dt, **kw)
+        cb = lambda f, k=3, **kw: ConvBlock(
+            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum, **kw)
+        c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
         x = c(16)(x)
         x = _maxpool(x)
@@ -105,7 +118,7 @@ class YoloV3Tiny(nn.Module):
         # Head 0 (stride 32).
         y0 = c(512)(route13)
         y0 = ConvBlock(n_anchor0 * (5 + nc), 1, use_bn=False, act=False,
-                       dtype=dt, name="head0")(y0)
+                       dtype=dt, name="head0")(y0, train)
         # Head 1 (stride 16) with upsample + concat.
         u = c(128, k=1)(route13)
         u = jax.image.resize(u, (u.shape[0], u.shape[1] * 2,
@@ -113,7 +126,7 @@ class YoloV3Tiny(nn.Module):
         x1 = jnp.concatenate([u, route8], axis=-1)
         y1 = c(256)(x1)
         y1 = ConvBlock(n_anchor1 * (5 + nc), 1, use_bn=False, act=False,
-                       dtype=dt, name="head1")(y1)
+                       dtype=dt, name="head1")(y1, train)
         return (y0.astype(jnp.float32), y1.astype(jnp.float32))
 
 
@@ -122,11 +135,13 @@ class YoloV2Tiny(nn.Module):
     spec: YoloSpec
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         dt = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
         nc = self.spec.num_classes
         n_anchor = len(self.spec.anchors[0])
-        c = lambda f, k=3, **kw: ConvBlock(f, k, dtype=dt, **kw)
+        cb = lambda f, k=3, **kw: ConvBlock(
+            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum, **kw)
+        c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
         for f in (16, 32, 64, 128, 256):
             x = c(f)(x)
             x = _maxpool(x)
@@ -135,7 +150,7 @@ class YoloV2Tiny(nn.Module):
         x = c(1024)(x)
         x = c(512)(x)
         x = ConvBlock(n_anchor * (5 + nc), 1, use_bn=False, act=False,
-                      dtype=dt, name="head0")(x)
+                      dtype=dt, name="head0")(x, train)
         return (x.astype(jnp.float32),)
 
 

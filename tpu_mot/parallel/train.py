@@ -42,7 +42,11 @@ def build_targets(spec: YoloSpec, gt_boxes, gt_classes, gt_valid):
     s = spec.input_size
     b, m = gt_valid.shape
     bi, mi = np.nonzero(gt_valid)                      # [K] valid GT list
-    cx, cy = gt_boxes[bi, mi, 0], gt_boxes[bi, mi, 1]
+    # Clamp centers into the frame: a slightly off-frame GT (augmentation
+    # jitter) would floor-divide to -1 and numpy fancy indexing would
+    # silently wrap the target to the opposite image edge (review r2).
+    cx = np.clip(gt_boxes[bi, mi, 0], 0.0, s - 1e-3)
+    cy = np.clip(gt_boxes[bi, mi, 1], 0.0, s - 1e-3)
     w, h = gt_boxes[bi, mi, 2], gt_boxes[bi, mi, 3]
     cls = gt_classes[bi, mi]
     out = []
@@ -65,11 +69,23 @@ def build_targets(spec: YoloSpec, gt_boxes, gt_classes, gt_valid):
     return out
 
 
-def yolo_loss(params, batch_stats, images, targets, spec: YoloSpec):
-    """Multi-head YOLO loss; targets from build_targets."""
+def yolo_loss(params, batch_stats, images, targets, spec: YoloSpec,
+              train: bool = False):
+    """Multi-head YOLO loss; targets from build_targets.
+
+    With train=True BatchNorm normalizes with batch statistics and the
+    updated running stats are returned as the aux output (loss, stats).
+    """
     model = build_model(spec)
-    heads = model.apply({"params": params, "batch_stats": batch_stats},
-                        images)
+    if train:
+        heads, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        heads = model.apply({"params": params, "batch_stats": batch_stats},
+                            images)
+        new_stats = batch_stats
     total = 0.0
     for raw, tgt in zip(heads, targets):
         b, hg, wg, _ = raw.shape
@@ -89,6 +105,8 @@ def yolo_loss(params, batch_stats, images, targets, spec: YoloSpec):
         cls_loss = (optax.softmax_cross_entropy(cls_logits, cls_tgt)
                     * obj_tgt).sum() / jnp.maximum(obj_tgt.sum(), 1.0)
         total = total + obj_loss + 5.0 * (xy_loss + wh_loss) + cls_loss
+    if train:
+        return total, new_stats
     return total
 
 
@@ -102,8 +120,12 @@ def make_train_step(spec: YoloSpec, tx: optax.GradientTransformation):
     @jax.jit
     def train_step(state, images, targets):
         params, batch_stats, opt_state = state
-        loss, grads = jax.value_and_grad(yolo_loss)(
-            params, batch_stats, images, targets, spec)
+        # has_aux threads the BatchNorm running-stats update through
+        # (review r2: the previous step never updated them, so BN
+        # normalized with the random-init stats for the whole run).
+        (loss, batch_stats), grads = jax.value_and_grad(
+            yolo_loss, has_aux=True)(
+            params, batch_stats, images, targets, spec, True)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, batch_stats, opt_state), loss

@@ -23,6 +23,10 @@ def pad_detections(dets, capacity: int):
     dets = np.asarray(dets, np.float32)
     if dets.size == 0:
         dets = dets.reshape(0, 5)
+    if dets.ndim == 1:
+        # A bare [cx, cy, w, h(, score)] is one detection — without this
+        # the row broadcast below would fabricate 4-5 phantom copies.
+        dets = dets.reshape(1, -1)
     n = min(len(dets), capacity)
     out = np.zeros((capacity, 5), np.float32)
     if dets.shape[-1] == 4:

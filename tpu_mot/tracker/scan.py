@@ -56,6 +56,11 @@ def track_sequence(frames, detections, cfg: TrackerConfig | None = None,
 
     cfg = cfg or TrackerConfig()
     n = len(frames)
+    if n == 0:
+        # An unreadable/empty video yields a 0-frame stack; return the
+        # bank untouched instead of crashing in range(0, 0, 0).
+        bank = bank if bank is not None else bank_mod.empty_bank(cfg)
+        return bank, [], None
     d = np.zeros((n, cfg.max_detections, 5), np.float32)
     v = np.zeros((n, cfg.max_detections), bool)
     for f in range(n):

@@ -204,7 +204,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         h_f, w_f = gray.shape
         in_frame = ((pred_boxes[:, 0] > 0) & (pred_boxes[:, 0] < w_f)
                     & (pred_boxes[:, 1] > 0) & (pred_boxes[:, 1] < h_f))
-        kcf_ok = alive & in_frame & (peak >= cfg.min_psr)
+        kcf_ok = alive & in_frame & (peak >= cfg.confidence_threshold)
         kcf_wh = pred_boxes[:, 2:4] * best_scale[:, None]
         refined = jnp.where(kcf_ok[:, None],
                             jnp.concatenate([kcf_cxy, kcf_wh], axis=1),
@@ -300,8 +300,10 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
 
     # ---- 8. Bank-wide KCF retrain ------------------------------------
     if cfg.use_kcf:
-        final_boxes = jnp.where(is_birth[:, None], birth_boxes,
-                                kf_mean[:, :4])
+        # kf_mean was already overwritten with init_mean (= birth box +
+        # zero velocity) at birth slots, so its box block IS the retrain
+        # site for births and corrected boxes for survivors.
+        final_boxes = kf_mean[:, :4]
         lr = jnp.where(is_birth, 1.0,
                        jnp.where((state > EMPTY) & (is_matched | kcf_ok),
                                  cfg.kcf.interp_factor, 0.0))

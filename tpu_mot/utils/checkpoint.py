@@ -53,12 +53,24 @@ def load_pytree(path: str, like):
         new = [jnp.asarray(data[jax.tree_util.keystr(k)])
                for k, _ in leaves]
         return jax.tree_util.tree_unflatten(treedef, new)
+    pkl = os.path.join(path, "state.pkl")
+    if os.path.isdir(path) and os.path.exists(pkl):
+        # Pickle fallback written into a directory (save side without
+        # orbax) — must win over the orbax branch so a checkpoint saved
+        # on a host without orbax restores on one with it, and vice
+        # versa the directory is not misread as a raw pickle file.
+        with open(pkl, "rb") as f:
+            return jax.tree.map(jnp.asarray, pickle.load(f))
     if _has_orbax() and os.path.isdir(path):
         import orbax.checkpoint as ocp
         ckpt = ocp.PyTreeCheckpointer()
         restored = ckpt.restore(os.path.abspath(path),
                                 item=jax.tree.map(np.asarray, like))
         return jax.tree.map(jnp.asarray, restored)
+    if os.path.isdir(path):
+        raise FileNotFoundError(
+            f"{path} is a directory without state.pkl and orbax is "
+            "unavailable — cannot restore")
     with open(path, "rb") as f:
         return jax.tree.map(jnp.asarray, pickle.load(f))
 

@@ -39,7 +39,14 @@ def otb_precision(gt_boxes, pred_boxes, thresholds=(20.0,)) -> dict:
     gt = np.asarray(gt_boxes, float)
     pr = np.asarray(pred_boxes, float)
     err = np.hypot(gt[:, 0] - pr[:, 0], gt[:, 1] - pr[:, 1])
-    ious = np.diagonal(_iou_matrix(gt, pr))
+    # Elementwise per-frame IoU — the earlier diagonal-of-[N,N] form
+    # allocated O(N^2) (800 MB for a 10k-frame run) to read N values.
+    gl, gr = gt[:, :2] - gt[:, 2:] / 2, gt[:, :2] + gt[:, 2:] / 2
+    pl_, pr_ = pr[:, :2] - pr[:, 2:] / 2, pr[:, :2] + pr[:, 2:] / 2
+    inter = np.prod(np.clip(np.minimum(gr, pr_) - np.maximum(gl, pl_),
+                            0.0, None), axis=1)
+    union = (np.prod(gt[:, 2:], 1) + np.prod(pr[:, 2:], 1) - inter)
+    ious = inter / np.maximum(union, 1e-9)
     out = {f"precision@{int(t)}px": float((err <= t).mean())
            for t in thresholds}
     out["mean_center_error"] = float(err.mean())

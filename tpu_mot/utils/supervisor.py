@@ -77,9 +77,27 @@ class StreamSupervisor:
             self.failures += 1
             self.last_recovery_frame = self.frame_idx
             self._restore()
-            self.bank, out = step_mod.step(
-                self.bank, jnp.asarray(frame), jnp.asarray(dets),
-                jnp.asarray(det_valid), self.cfg)
+            try:
+                new_bank, out = step_mod.step(
+                    self.bank, jnp.asarray(frame), jnp.asarray(dets),
+                    jnp.asarray(det_valid), self.cfg)
+                healthy = output_healthy(out, (self.cfg.frame_height,
+                                               self.cfg.frame_width))
+            except Exception:
+                new_bank, out, healthy = None, None, False
+            if healthy:
+                self.bank = new_bank
+            else:
+                # The fault is in the inputs (e.g. a NaN frame), not the
+                # state: keep the restored snapshot, skip this frame, and
+                # emit an empty output — persisting the corrupt retry
+                # bank would defeat the health gate ("never raises"
+                # contract includes the retry path).
+                self.failures += 1
+                self.bank, out = step_mod.step(
+                    self.bank, jnp.zeros_like(jnp.asarray(frame)),
+                    jnp.zeros_like(jnp.asarray(dets)),
+                    jnp.zeros_like(jnp.asarray(det_valid)), self.cfg)
         self.frame_idx += 1
         if self.frame_idx % self.snapshot_every == 0:
             self._snap()
