@@ -80,6 +80,41 @@ def test_u8_pyramid_parity():
     np.testing.assert_allclose(l1, want_l1, atol=0.51 / 255.0)
 
 
+def test_pyramid_dtype_domain_coherent():
+    """dtype overrides must convert the VALUE DOMAIN, not just the storage
+    dtype: a u8 frame with dtype=float32 (exact-parity runs) must yield
+    [0,1]-domain levels, and a float frame with dtype=uint8 must scale up
+    to 0..255 — the review-r2 bug returned 255x-hot patches silently."""
+    rng = np.random.default_rng(12)
+    frame_u8 = rng.integers(0, 256, (240, 384), dtype=np.uint8)
+    gray = frame_u8.astype(np.float32) / 255.0
+    boxes = np.array([[70.0, 50.0, 20.0, 26.0]], np.float32)
+    want = np.asarray(patch_ops.extract_patches(
+        jnp.asarray(gray), jnp.asarray(boxes), 2.5, 64))
+    # u8 frame, f32 pyramid requested.
+    lv32 = roi.build_pyramid(jnp.asarray(frame_u8), dtype=jnp.float32)
+    assert lv32[0].dtype == jnp.float32
+    got = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(frame_u8), jnp.asarray(boxes), 2.5, 64,
+        interpret=True, levels=lv32, frame_hw=frame_u8.shape))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # f32 frame, u8 pyramid requested.
+    lvu8 = roi.build_pyramid(jnp.asarray(gray), dtype=jnp.uint8)
+    assert lvu8[0].dtype == jnp.uint8
+    got = np.asarray(roi.extract_patches_pallas(
+        jnp.asarray(gray), jnp.asarray(boxes), 2.5, 64,
+        interpret=True, levels=lvu8, frame_hw=gray.shape))
+    np.testing.assert_allclose(got, want, atol=1.0 / 255.0)
+    # int8 dots on a non-u8 pyramid must fail loudly, not silently
+    # measure the default path.
+    import pytest
+    with pytest.raises(ValueError, match="uint8 pyramid"):
+        roi.extract_patches_pallas(
+            jnp.asarray(gray), jnp.asarray(boxes), 2.5, 64,
+            interpret=True, levels=lv32, frame_hw=gray.shape,
+            dot_impl="int8")
+
+
 def test_u8_int8_dot_parity():
     """The int8-MXU resample variant quantizes the hat weights to 1/127
     steps; output must match the f32-dot u8 path within that budget

@@ -78,8 +78,19 @@ def build_pyramid(gray: jnp.ndarray, dtype=None):
     """
     h, w = gray.shape
     shapes = _level_shapes(h, w)
-    u8 = gray.dtype == jnp.uint8 and dtype is None
+    # Normalize the VALUE DOMAIN to the storage dtype first: u8 levels
+    # hold 0..255 (the kernel folds 1/255 into its resample weights, keyed
+    # on levels[0].dtype), float levels hold [0, 1].  Without this, a u8
+    # frame stored as float (dtype=float32 "exact parity" runs) kept
+    # 0..255 values that the kernel no longer rescaled — patches came
+    # back 255x hot with no error (caught by review r2).
+    u8 = jnp.uint8 == (dtype or (jnp.uint8 if gray.dtype == jnp.uint8
+                                 else PYRAMID_DTYPE))
     dtype = jnp.uint8 if u8 else (dtype or PYRAMID_DTYPE)
+    if u8 and gray.dtype != jnp.uint8:
+        gray = jnp.clip(gray * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    elif not u8 and gray.dtype == jnp.uint8:
+        gray = gray.astype(jnp.float32) / 255.0
     levels = []
     cur = gray
     for lv in range(N_LEVELS):
@@ -119,12 +130,10 @@ _DOT_PRECISION = jax.lax.Precision.DEFAULT
 
 def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
                 l0, l1, l2, l3, out_ref, scratch, sem,
-                tpp: int = None, nbuf: int = None, scale: float = 1.0,
-                dot_impl: str = "default"):
+                tpp: int = TRACKS_PER_PROG, nbuf: int = N_BUFFERS,
+                scale: float = 1.0, dot_impl: str = "default"):
     g = pl.program_id(0)
     levels = (l0, l1, l2, l3)
-    tpp = tpp or TRACKS_PER_PROG
-    nbuf = nbuf or N_BUFFERS
 
     def start_dma(k, slot):
         t = g * tpp + k
@@ -320,9 +329,14 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
-    scale = 1.0 / 255.0 if levels[0].dtype == jnp.uint8 else 1.0
+    dequant = 1.0 / 255.0 if levels[0].dtype == jnp.uint8 else 1.0
+    if dot_impl == "int8" and levels[0].dtype != jnp.uint8:
+        raise ValueError(
+            "dot_impl='int8' requires a uint8 pyramid (u8 ingest frames); "
+            f"got {levels[0].dtype} — it would silently measure the "
+            "default path")
     out = pl.pallas_call(
-        functools.partial(_roi_kernel, tpp=tpp, nbuf=nbuf, scale=scale,
+        functools.partial(_roi_kernel, tpp=tpp, nbuf=nbuf, scale=dequant,
                           dot_impl=dot_impl),
         out_shape=jax.ShapeDtypeStruct((t_pad, size, size), jnp.float32),
         grid_spec=grid_spec,

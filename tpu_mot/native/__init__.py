@@ -183,13 +183,20 @@ class FrameRing:
             raise ValueError(
                 f"stored ring frame is larger than the pop buffer "
                 f"({out.nbytes} bytes) — mismatched frame geometry")
+        if got != out.nbytes:
+            # A smaller stored frame would leave the np.empty tail
+            # uninitialized — same geometry mismatch, other direction.
+            raise ValueError(
+                f"stored ring frame is {got} bytes but the pop buffer "
+                f"expects {out.nbytes} — mismatched frame geometry")
         return out
 
     def __len__(self):
         return int(_lib.tpumot_ring_size(self._ptr))
 
     def __del__(self):
-        if getattr(self, "_ptr", None):
+        # Module globals may already be torn down at interpreter exit.
+        if getattr(self, "_ptr", None) and _lib is not None:
             _lib.tpumot_ring_destroy(self._ptr)
             self._ptr = None
 
@@ -300,6 +307,7 @@ class StreamScheduler:
                 "fresh": fresh.tolist()}
 
     def __del__(self):
-        if getattr(self, "_native", False) and getattr(self, "_ptr", None):
+        if (getattr(self, "_native", False) and getattr(self, "_ptr", None)
+                and _lib is not None):
             _lib.tpumot_sched_destroy(self._ptr)
             self._ptr = None

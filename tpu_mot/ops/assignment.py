@@ -69,6 +69,11 @@ def auction_assign_stats(cost: jnp.ndarray, feasible: jnp.ndarray,
     count/flag it (the padded square problem always admits a perfect
     matching via the dummy columns, so non-convergence is an iteration
     budget event, never a structural one).
+
+    iters counts ACTIVE Jacobi rounds.  The while_loop runs 3 rounds per
+    condition check (loop-sync amortization), so the budget is enforced
+    at 3-round granularity: up to max_iters + 2 active rounds can
+    execute before the loop observes the limit.
     """
     n_rows, m_cols = cost.shape
     if n_rows == 0 or m_cols == 0:
@@ -130,7 +135,11 @@ def auction_assign_stats(cost: jnp.ndarray, feasible: jnp.ndarray,
                            jnp.where(was_evicted, -1, col_of))
         row_of = jnp.where(has_bid, winner, row_of)
         prices = jnp.where(has_bid, best_bid, prices)
-        return prices, col_of, row_of, it + 1
+        # Count only ACTIVE rounds: the unrolled body may run up to 2
+        # no-op rounds after convergence, which must not inflate the
+        # reported iteration stat or burn max_iters budget.
+        return prices, col_of, row_of, it + jnp.any(bidding).astype(
+            jnp.int32)
 
     def body(state):
         # Several Jacobi rounds per while_loop iteration: typical gated
