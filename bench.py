@@ -97,7 +97,10 @@ def main() -> None:
     t1 = min(chain(1) for _ in range(2))
     tn = min(chain(reps + 1) for _ in range(2))
     dt = (tn - t1) / reps
-    fps = n_frames / dt
+    # Tunnel-stall guard: if a wedged/slow window distorted the short
+    # chain past the long one, dt can go non-positive — report 0 (a
+    # valid, finite JSON number) instead of a negative/Infinity value.
+    fps = n_frames / dt if dt > 1e-9 else 0.0
 
     # Report degraded number if the tracker is not actually tracking.
     if mota < 0.5:

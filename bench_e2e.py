@@ -36,7 +36,9 @@ def _marginal_ms(run_chain, n_frames: int, reps: int = 6) -> float:
     run_chain(1)                                    # warm the chain shape
     t1 = min(run_chain(1) for _ in range(2))
     tn = min(run_chain(reps) for _ in range(2))
-    return (tn - t1) / (reps - 1) / n_frames * 1e3
+    ms = (tn - t1) / (reps - 1) / n_frames * 1e3
+    # Tunnel-stall guard: keep the reported ms positive/finite.
+    return ms if ms > 1e-6 else float("nan")
 
 
 def main() -> None:
@@ -128,7 +130,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     e2e_ms = _marginal_ms(e2e_chain, n_frames)
-    e2e_fps = 1e3 / e2e_ms
+    e2e_fps = 1e3 / e2e_ms if e2e_ms == e2e_ms else 0.0
 
     # ---- stage 4: fused e2e with the fast-detector combo ----------------
     # bf16 convs + parallel Fast NMS — the per-option deltas are recorded

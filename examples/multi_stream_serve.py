@@ -124,8 +124,11 @@ def main():
         t.start()
     banks3 = serve.make_stream_banks(n_streams, cfg, m)
     steps = 0
-    empty_d = jnp.zeros((n_streams, 16, 5), jnp.float32)
-    empty_v = jnp.zeros((n_streams, 16), bool)
+    # Loop-invariant: put the constant empty-detection tensors on the
+    # mesh once, not per gather step.
+    empty_d = jax.device_put(jnp.zeros((n_streams, 16, 5), jnp.float32),
+                             sh)
+    empty_v = jax.device_put(jnp.zeros((n_streams, 16), bool), sh)
     while steps < 10:
         got = sched.gather()
         if got is None:
@@ -134,7 +137,7 @@ def main():
         batch, fresh = got
         banks3, out3 = serve.multi_stream_step(
             banks3, jax.device_put(jnp.asarray(batch), sh),
-            jax.device_put(empty_d, sh), jax.device_put(empty_v, sh), cfg)
+            empty_d, empty_v, cfg)
         steps += 1
     for t in threads:
         t.join()

@@ -7,6 +7,7 @@ import jax
 
 from tpu_mot.config import TrackerConfig
 from tpu_mot.data import synthetic
+from tpu_mot.tracker import scan
 from tpu_mot.tracker.api import MultiTracker
 from tpu_mot.utils import metrics
 
@@ -354,3 +355,24 @@ def test_adversarial_inputs_no_crash():
     # det_score_min comparison returning False for NaN).
     assert np.isfinite(np.asarray(mt.bank.kf_mean)).all()
     assert np.isfinite(np.asarray(mt.bank.kcf.alphaf.re)).all()
+
+
+def test_chunked_remainder_matches_unchunked():
+    """The masked tail-chunk path (padding the remainder to the chunk
+    length so no second XLA shape is compiled) must produce identical
+    tracks AND an identical final bank to the unchunked run."""
+    rng = np.random.default_rng(13)
+    objs = synthetic.make_objects(6, 120, 160, rng, min_size=12,
+                                  max_size=24, max_speed=2.0)
+    frames, gt, vis = synthetic.render_sequence(objs, 11, 120, 160,
+                                                seed=3, noise=0.01)
+    dets = synthetic.detections_from_gt(gt, vis, seed=3,
+                                        frame_hw=(120, 160))
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=120,
+                        frame_width=160, roi_impl="xla")
+    b1, t1, s1 = scan.track_sequence(frames, dets, cfg)            # one shot
+    b2, t2, s2 = scan.track_sequence(frames, dets, cfg, chunk=4)   # 4,4,3
+    assert t1 == t2
+    for a, b in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

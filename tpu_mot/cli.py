@@ -90,6 +90,9 @@ def cmd_mot(args) -> int:
     from tpu_mot.tracker import scan
     from tpu_mot.utils import metrics as metrics_mod
 
+    if not args.synthetic and not args.seq:
+        print("mot: need --seq <dir> or --synthetic", file=sys.stderr)
+        return 2
     if args.synthetic:
         # --frames means "all" for file sequences, but the synthetic
         # fixture has no natural length — default it.
@@ -108,7 +111,9 @@ def cmd_mot(args) -> int:
         det_file = os.path.join(args.seq, "det", "det.txt")
         gt_file = os.path.join(args.seq, "gt", "gt.txt")
         frames = mot_data.load_image_sequence(img_dir, limit=args.frames)
-        dets = mot_data.load_mot_dets(det_file, score_min=args.det_min)
+        dets = (mot_data.load_mot_dets(det_file, score_min=args.det_min)
+                if args.det_min is not None
+                else mot_data.load_mot_dets(det_file))
         dets = dets[: len(frames)]
         while len(dets) < len(frames):
             dets.append(np.zeros((0, 5), np.float32))
@@ -158,14 +163,19 @@ def cmd_eval(args) -> int:
         print(f"no MOT sequences under {args.root} (need <seq>/img1 + "
               "<seq>/det/det.txt)", file=sys.stderr)
         return 1
+    if args.out or args.video_out:
+        print("eval: --out/--video-out are ignored — use --out-dir for "
+              "per-sequence result files", file=sys.stderr)
     tot = {"fp": 0, "fn": 0, "idsw": 0, "n_gt": 0}
     n_frames_total, t_total = 0, 0.0
     for seq in seqs:
         name = os.path.basename(seq)
         frames = mot_data.load_image_sequence(os.path.join(seq, "img1"),
                                               limit=args.frames)
-        dets = mot_data.load_mot_dets(os.path.join(seq, "det", "det.txt"),
-                                      score_min=args.det_min)
+        det_file = os.path.join(seq, "det", "det.txt")
+        dets = (mot_data.load_mot_dets(det_file, score_min=args.det_min)
+                if args.det_min is not None
+                else mot_data.load_mot_dets(det_file))
         dets = dets[: len(frames)]
         while len(dets) < len(frames):
             dets.append(np.zeros((0, 5), np.float32))
@@ -215,6 +225,11 @@ def cmd_otb(args) -> int:
     from tpu_mot.tracker.kcf_bank import KCFTracker
 
     frames = mot_data.load_image_sequence(args.seq, limit=args.frames)
+    if len(frames) == 0:
+        print(f"otb: no images found in {args.seq} (OTB sequences keep "
+              "frames under <seq>/img — point --seq there)",
+              file=sys.stderr)
+        return 1
     x, y, w, h = (float(v) for v in args.box.split(","))
     box = (x + w / 2, y + h / 2, w, h)          # OTB gt is top-left based
     cfg = KCFConfig(scale_step=args.scale_step)
@@ -236,11 +251,14 @@ def cmd_otb(args) -> int:
         print(f"wrote {args.out}")
     if args.gt:
         from tpu_mot.utils.metrics import otb_precision
-        gt = np.loadtxt(args.gt, delimiter=",", ndmin=2)[: len(results)]
-        gt_c = gt.copy()
-        gt_c[:, 0] += gt[:, 2] / 2
-        gt_c[:, 1] += gt[:, 3] / 2
-        print(json.dumps(otb_precision(gt_c, np.asarray(results))))
+        gt = np.loadtxt(args.gt, delimiter=",", ndmin=2)
+        # Score over the overlap: OTB gt files are sometimes shorter than
+        # the image sequence (annotation gaps / late start frames).
+        k = min(len(gt), len(results))
+        gt_c = gt[:k].copy()
+        gt_c[:, 0] += gt_c[:, 2] / 2
+        gt_c[:, 1] += gt_c[:, 3] / 2
+        print(json.dumps(otb_precision(gt_c, np.asarray(results[:k]))))
     return 0
 
 
@@ -298,7 +316,9 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--objects", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--det-min", type=float, default=0.0)
+    p.add_argument("--det-min", type=float, default=None,
+                   help="detection score floor; default keeps ALL rows "
+                        "(MOT16 DPM scores are often negative)")
     p.add_argument("--score", action="store_true",
                    help="report CLEAR-MOT metrics vs gt")
     p.set_defaults(fn=cmd_mot)
@@ -310,7 +330,9 @@ def main(argv=None) -> int:
                    help="dir of MOT sequences (e.g. MOT16/train)")
     p.add_argument("--frames", type=int, default=None,
                    help="per-sequence frame cap")
-    p.add_argument("--det-min", type=float, default=0.0)
+    p.add_argument("--det-min", type=float, default=None,
+                   help="detection score floor; default keeps ALL rows "
+                        "(MOT16 DPM scores are often negative)")
     p.add_argument("--out-dir", default=None,
                    help="write <seq>.txt MOT results here")
     p.set_defaults(fn=cmd_eval)

@@ -24,13 +24,19 @@ from tpu_mot.tracker import step as step_mod
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def run_sequence(bank, frames: jnp.ndarray, dets: jnp.ndarray,
-                 det_valid: jnp.ndarray, cfg: TrackerConfig):
+                 det_valid: jnp.ndarray, cfg: TrackerConfig,
+                 frame_valid: jnp.ndarray | None = None):
     """Track a whole clip in one device call.
 
     bank      : TrackBank carry (use tracker.bank.empty_bank to start).
     frames    : [N, H, W] (or [N, H, W, 3]) image stack.
     dets      : [N, D, 5] padded detections per frame.
     det_valid : [N, D] bool.
+    frame_valid : optional [N] bool — False frames are NO-OPS: the bank
+        carries through unchanged and the frame's outputs are marked
+        invalid.  This lets a short tail chunk be padded up to a fixed
+        length instead of compiling a fresh program per remainder shape
+        (a remote TPU compile of this scan costs minutes).
     Returns (final bank, StepOutput stacked over N).
     """
     def body(carry, inp):
@@ -38,7 +44,21 @@ def run_sequence(bank, frames: jnp.ndarray, dets: jnp.ndarray,
         new_bank, out = step_mod.step(carry, frame, det, valid, cfg)
         return new_bank, out
 
-    return jax.lax.scan(body, bank, (frames, dets, det_valid))
+    if frame_valid is None:
+        return jax.lax.scan(body, bank, (frames, dets, det_valid))
+
+    def body_masked(carry, inp):
+        frame, det, valid, fv = inp
+        new_bank, out = step_mod.step(carry, frame, det, valid, cfg)
+        # Scalar-predicate select over every bank leaf: padded frames
+        # must not age/kill tracks or consume IDs.
+        kept = jax.tree.map(lambda a, b: jnp.where(fv, a, b),
+                            new_bank, carry)
+        out = out._replace(valid=out.valid & fv)
+        return kept, out
+
+    return jax.lax.scan(body_masked, bank,
+                        (frames, dets, det_valid, frame_valid))
 
 
 def track_sequence(frames, detections, cfg: TrackerConfig | None = None,
@@ -69,11 +89,32 @@ def track_sequence(frames, detections, cfg: TrackerConfig | None = None,
 
     outs = []
     chunk = chunk or n
+    frames = np.asarray(frames)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        bank, out = run_sequence(bank, jnp.asarray(frames[lo:hi]),
-                                 jnp.asarray(d[lo:hi]),
-                                 jnp.asarray(v[lo:hi]), cfg)
+        if hi - lo == chunk:
+            bank, out = run_sequence(bank, jnp.asarray(frames[lo:hi]),
+                                     jnp.asarray(d[lo:hi]),
+                                     jnp.asarray(v[lo:hi]), cfg)
+        else:
+            # Pad the tail chunk to the full chunk length with masked
+            # no-op frames: a bare remainder would be a new static shape
+            # and force a second full XLA compile (minutes on a remote
+            # TPU).  The masked program compiles once per chunk size.
+            pad = chunk - (hi - lo)
+            fv = np.zeros((chunk,), bool)
+            fv[: hi - lo] = True
+            fpad = np.concatenate(
+                [frames[lo:hi],
+                 np.zeros((pad,) + frames.shape[1:], frames.dtype)])
+            dpad = np.concatenate(
+                [d[lo:hi], np.zeros((pad,) + d.shape[1:], d.dtype)])
+            vpad = np.concatenate(
+                [v[lo:hi], np.zeros((pad,) + v.shape[1:], v.dtype)])
+            bank, out = run_sequence(bank, jnp.asarray(fpad),
+                                     jnp.asarray(dpad), jnp.asarray(vpad),
+                                     cfg, frame_valid=jnp.asarray(fv))
+            out = jax.tree.map(lambda a: a[: hi - lo], out)
         outs.append(jax.tree.map(np.asarray, out))
     stacked = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *outs)
 
