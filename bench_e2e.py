@@ -96,8 +96,13 @@ def main() -> None:
             # Serialize: next rep's frames depend on this rep's output.
             # The perturbation must keep the uint8 dtype — `f + eps`
             # promotes to f32 and silently re-traces/measures the f32
-            # detector variant instead of the u8 ingest path.
-            f = f ^ (jnp.sum(dets) > 1e30).astype(f.dtype)
+            # detector variant instead of the u8 ingest path.  It must
+            # also be genuinely data-dependent: the old `sum > 1e30`
+            # compare is provably always 0 and a sufficiently smart
+            # plugin could dedup through it (VERDICT r2 weak #7);
+            # parity-of-sum XOR flips at most the pixel LSB but cannot
+            # be constant-folded.
+            f = f ^ jnp.mod(jnp.abs(jnp.sum(dets)), 2.0).astype(f.dtype)
         float(jnp.sum(dets))                        # forced fetch
         return time.perf_counter() - t0
 

@@ -43,7 +43,7 @@ def main() -> None:
           for f in range(n_frames)]
 
     variants = {
-        "default (gray, psr@5, appearance .2)": {},
+        "default (gray, psr@5, appearance off)": {},
         "peak-ungated (r1 bench config)": dict(
             confidence_mode="peak", min_psr=0.0, appearance_weight=0.0),
         "fhog31 (cell 4)": dict(

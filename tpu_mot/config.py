@@ -103,13 +103,22 @@ class TrackerConfig:
     # Static per-frame detection capacity (padding target).
     max_detections: int = 64
 
-    # Association.  Defaults validated by tools/sweep_defaults.py on the
-    # occlusion+clutter fixture (2026-08-16): appearance blend is neutral
-    # on gray synthetic scenes (identical MOTA/IDF1/IDSW at w in
-    # {0, .25, .5} incl. crossing-pairs) and is shipped ON for parity with
-    # the reference's IoU+appearance cost.
+    # Association.  Defaults validated by tools/sweep_defaults.py
+    # (occlusion+clutter, 2026-08-16) and tools/sweep_appearance.py
+    # (adversarial bounce/cross fixtures, 2026-08-17,
+    # tools/sweep_appearance_r3.log): the appearance cost blend is
+    # MEASURED REDUNDANT in this architecture — identical MOTA/IDF1/IDSW
+    # at every w in {0..0.7} on (a) generic clutter, (b) motion-reversal
+    # bounces and dropout-masked crossings with distinct textures, and
+    # (c) a direct ambiguous-decoy probe — because the KCF refinement
+    # step injects the same appearance signal upstream (refined boxes sit
+    # on the matching texture BEFORE IoU is computed; distinct-texture
+    # crossings score IDF1 0.97 vs 0.51 for identical textures at w=0).
+    # The blend stays implemented (ops/iou.association_cost) and
+    # CLI-selectable for refinement-off configurations; the default is
+    # the value the evidence supports.
     iou_gate: float = 0.3          # min IoU for a feasible match
-    appearance_weight: float = 0.2  # cost = (1-w)*(1-IoU) + w*(1-appearance)
+    appearance_weight: float = 0.0  # cost = (1-w)*(1-IoU) + w*(1-appearance)
     cost_infeasible: float = 1e4   # cost assigned to gated pairs
 
     # Lifecycle (SORT-style tentative/confirmed/lost state machine).

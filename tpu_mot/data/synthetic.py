@@ -117,6 +117,70 @@ def render_sequence(objects: list[SyntheticObject], n_frames: int,
     return frames, boxes, visible
 
 
+def render_trajectories(centers: np.ndarray, sizes: np.ndarray,
+                        height: int = 240, width: int = 320, seed: int = 0,
+                        noise: float = 0.02,
+                        tex_levels: list | None = None,
+                        visible: np.ndarray | None = None):
+    """Render a sequence from EXPLICIT per-frame trajectories.
+
+    Unlike render_sequence (constant velocity + border bounce), this takes
+    scripted motion — the fixture hook for adversarial association
+    scenarios (crossing / bouncing targets, VERDICT r2 next #5) where the
+    interesting failure needs trajectories constant-velocity physics
+    cannot produce.
+
+    centers : [N, K, 2] per-frame (cx, cy) of K objects.
+    sizes   : [K, 2] (w, h) per object.
+    tex_levels : optional K base intensities in [0, 1] — distinct values
+        give objects distinct textures the appearance term can tell
+        apart; None = random textures as render_sequence.
+    visible : optional [N, K] bool; None = all visible.
+
+    Returns (frames [N, H, W] f32 in [0,1], boxes [N, K, 4], visible).
+    """
+    rng = np.random.default_rng(seed)
+    n_frames, k_obj = centers.shape[:2]
+    if visible is None:
+        visible = np.ones((n_frames, k_obj), bool)
+    bg_small = rng.random((height // 8 + 1, width // 8 + 1))
+    bg = np.kron(bg_small, np.ones((8, 8)))[:height, :width] * 0.4 + 0.2
+    textures = []
+    for k in range(k_obj):
+        tw, th = int(round(sizes[k, 0])), int(round(sizes[k, 1]))
+        if tex_levels is not None:
+            base = float(tex_levels[k])
+            tex = np.clip(rng.random((th, tw)) * 0.25 + base, 0.0, 1.0)
+        else:
+            tex = rng.random((th, tw)) * 0.6 + 0.4
+        tex[0, :] = tex[-1, :] = tex[:, 0] = tex[:, -1] = 1.0
+        textures.append(tex)
+
+    frames = np.empty((n_frames, height, width), np.float32)
+    boxes = np.zeros((n_frames, k_obj, 4), np.float32)
+    for f in range(n_frames):
+        img = bg.copy()
+        for k in range(k_obj):
+            cx, cy = centers[f, k]
+            boxes[f, k] = (cx, cy, sizes[k, 0], sizes[k, 1])
+            if not visible[f, k]:
+                continue
+            tex = textures[k]
+            th, tw = tex.shape
+            y0 = int(round(cy - th / 2))
+            x0 = int(round(cx - tw / 2))
+            ys = slice(max(y0, 0), min(y0 + th, height))
+            xs = slice(max(x0, 0), min(x0 + tw, width))
+            tys = slice(ys.start - y0, ys.stop - y0)
+            txs = slice(xs.start - x0, xs.stop - x0)
+            if ys.stop > ys.start and xs.stop > xs.start:
+                img[ys, xs] = tex[tys, txs]
+        if noise > 0:
+            img = img + rng.normal(0, noise, img.shape)
+        frames[f] = np.clip(img, 0.0, 1.0)
+    return frames, boxes, visible
+
+
 def detections_from_gt(boxes: np.ndarray, visible: np.ndarray, seed: int = 0,
                        jitter: float = 1.0, drop_prob: float = 0.0,
                        fp_per_frame: float = 0.0, frame_hw=(240, 320)):

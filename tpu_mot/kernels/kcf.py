@@ -124,7 +124,7 @@ def _const_dict(refs):
     return {k: r[:] for k, r in zip(_CONST_NAMES, refs)}
 
 
-def _rfft2t(x, c, s: int, sf: int, dot=None):
+def _rfft2t(x, c, s: int, sf: int, *, dot):
     """x [B, S, S] real → transposed half spectrum (zrT, ziT) [B, Sf, S].
 
     Two stacked dots + one batched minor-dim transpose."""
@@ -137,7 +137,7 @@ def _rfft2t(x, c, s: int, sf: int, dot=None):
     return zr, zi
 
 
-def _irfft2t(yrt, yit, c, s: int, sf: int, dot=None):
+def _irfft2t(yrt, yit, c, s: int, sf: int, *, dot):
     """Transposed half spectrum [B, Sf, S] → real spatial x [B, S, S]
     (normal orientation).  Weights/scale pre-folded into gst."""
     b = yrt.shape[0]
@@ -160,12 +160,12 @@ def _energy_t(zrt, zit, c, s: int):
 
 
 def _gauss_corr_kft(cross, xx, zz, sigma: float, numel: int, c,
-                    s: int, sf: int, dot=None):
+                    s: int, sf: int, *, dot):
     """k = exp(-max(xx+zz-2·cross, 0)/(σ²·numel)) → k̂ᵀ (one fwd).
     xx, zz: [B, 1, 1] energies."""
     d = jnp.maximum(xx + zz - 2.0 * cross, 0.0)
     k = jnp.exp(-d / (sigma * sigma * numel))
-    return _rfft2t(k, c, s, sf, dot)
+    return _rfft2t(k, c, s, sf, dot=dot)
 
 
 def _tr(x):
@@ -181,7 +181,7 @@ def _detect_kernel(feat_ref, xfr_ref, xfi_ref, afr_ref, afi_ref,
     dot = _dot_with(prec)
     sf = s // 2 + 1
     feat = feat_ref[:].reshape(tb * nc, s, s)
-    zrt, zit = _rfft2t(feat, c, s, sf, dot)              # [TB·C, Sf, S]
+    zrt, zit = _rfft2t(feat, c, s, sf, dot=dot)              # [TB·C, Sf, S]
     xrt = _tr(xfr_ref[:].reshape(tb * nc, s, sf))        # model, transposed
     xit = _tr(xfi_ref[:].reshape(tb * nc, s, sf))
     # cross_f = Σ_c ẑ·conj(x̂); energies via Parseval, summed over channels.
@@ -189,14 +189,14 @@ def _detect_kernel(feat_ref, xfr_ref, xfi_ref, afr_ref, afi_ref,
     cit = (zit * xrt - zrt * xit).reshape(tb, nc, sf, s).sum(axis=1)
     zz = _energy_t(zrt, zit, c, s).reshape(tb, nc, 1, 1).sum(axis=1)
     xx = _energy_t(xrt, xit, c, s).reshape(tb, nc, 1, 1).sum(axis=1)
-    cross = _irfft2t(crt, cit, c, s, sf, dot)            # [TB, S, S]
+    cross = _irfft2t(crt, cit, c, s, sf, dot=dot)            # [TB, S, S]
     krt, kit = _gauss_corr_kft(cross, zz, xx, sigma, s * s * nc, c, s, sf,
-                               dot)
+                               dot=dot)
     art = _tr(afr_ref[:])                                # [TB, Sf, S]
     ait = _tr(afi_ref[:])
     # response = IFFT(k̂ ⊙ α̂)
     out_ref[:] = _irfft2t(krt * art - kit * ait,
-                          krt * ait + kit * art, c, s, sf, dot)
+                          krt * ait + kit * art, c, s, sf, dot=dot)
 
 
 def _train_kernel(lr_ref, feat_ref, xfr_ref, xfi_ref, afr_ref, afi_ref,
@@ -209,13 +209,13 @@ def _train_kernel(lr_ref, feat_ref, xfr_ref, xfi_ref, afr_ref, afi_ref,
     sf = s // 2 + 1
     g = pl.program_id(0)
     feat = feat_ref[:].reshape(tb * nc, s, s)
-    xrt, xit = _rfft2t(feat, c, s, sf, dot)              # fresh x̂ᵀ
+    xrt, xit = _rfft2t(feat, c, s, sf, dot=dot)              # fresh x̂ᵀ
     # x̂·conj(x̂) is real; energies summed over channels.
     crt = (xrt * xrt + xit * xit).reshape(tb, nc, sf, s).sum(axis=1)
     xx = _energy_t(xrt, xit, c, s).reshape(tb, nc, 1, 1).sum(axis=1)
-    cross = _irfft2t(crt, jnp.zeros_like(crt), c, s, sf, dot)
+    cross = _irfft2t(crt, jnp.zeros_like(crt), c, s, sf, dot=dot)
     krt, kit = _gauss_corr_kft(cross, xx, xx, sigma, s * s * nc, c, s, sf,
-                               dot)
+                               dot=dot)
     # α̂ = ŷ / (k̂ + λ)  — ŷᵀ is passed pre-transposed (a constant).
     dr = krt + lambda_
     inv = 1.0 / jnp.maximum(dr * dr + kit * kit, 1e-20)

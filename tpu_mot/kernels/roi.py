@@ -87,6 +87,16 @@ def build_pyramid(gray: jnp.ndarray, dtype=None):
     u8 = jnp.uint8 == (dtype or (jnp.uint8 if gray.dtype == jnp.uint8
                                  else PYRAMID_DTYPE))
     dtype = jnp.uint8 if u8 else (dtype or PYRAMID_DTYPE)
+    if gray.dtype != jnp.uint8:
+        # Value-domain guard (advisor r2): a float frame may arrive in
+        # EITHER unit [0, 1] (to_gray output) or byte [0, 255] domain
+        # (e.g. a decoder handing back float pixels).  Rescale keyed on
+        # the observed max — a traced select, one extra frame reduction —
+        # instead of silently saturating every pixel to 255 on the u8
+        # conversion below.  1.5 cleanly separates the domains (a real
+        # frame in byte domain has max >> 1.5; a unit frame cannot).
+        unit = jnp.max(gray) <= 1.5
+        gray = gray * jnp.where(unit, 1.0, 1.0 / 255.0)
     if u8 and gray.dtype != jnp.uint8:
         gray = jnp.clip(gray * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
     elif not u8 and gray.dtype == jnp.uint8:

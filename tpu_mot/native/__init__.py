@@ -50,8 +50,12 @@ def _so_current() -> bool:
     src = os.path.join(_DIR, "src")
     if os.path.isdir(src):
         deps += [os.path.join(src, f) for f in os.listdir(src)]
-    return all(os.path.getmtime(d) <= so_mtime
-               for d in deps if os.path.exists(d))
+    # A missing dep (deleted/renamed src/*.cc) means the build inputs
+    # changed → stale, let make decide; strict < so mtime ties on
+    # coarse-granularity filesystems also rebuild rather than silently
+    # keeping an outdated .so.
+    return all(os.path.exists(d) and os.path.getmtime(d) < so_mtime
+               for d in deps)
 
 
 def _load() -> bool:

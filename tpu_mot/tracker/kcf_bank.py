@@ -62,28 +62,34 @@ def detect_bank(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig
     best scale re-sizes the box, mirroring the C lineage's scale branch.
     """
     s = cfg.feature_size
-
-    def one_scale(scale: float):
-        scales = jnp.full((bank.boxes.shape[0],), scale, jnp.float32)
-        feats = _features_at(frame_gray, bank.boxes, cfg, scales)
-        resp = kcf_ops.detect(bank.model, feats, cfg.kernel_sigma)
-        return kcf_ops.peak_displacement(resp)
+    t_cap = bank.boxes.shape[0]
 
     if cfg.scale_step == 1.0:
-        dy, dx, peak = one_scale(1.0)
+        feats = _features_at(frame_gray, bank.boxes, cfg)
+        resp = kcf_ops.detect(bank.model, feats, cfg.kernel_sigma)
+        dy, dx, peak = kcf_ops.peak_displacement(resp)
         best_scale = jnp.ones_like(peak)
     else:
+        # Scales fold into the track axis: one [3T]-batched extract +
+        # one broadcast detect (see tracker/step.py for the rationale —
+        # the sequential per-scale formulation tripled the critical path).
         step = cfg.scale_step
-        results = [one_scale(sc) for sc in (1.0 / step, 1.0, step)]
-        dys = jnp.stack([r[0] for r in results])       # [3, T]
-        dxs = jnp.stack([r[1] for r in results])
-        peaks = jnp.stack([r[2] for r in results])
+        scale_vals = jnp.asarray([1.0 / step, 1.0, step], jnp.float32)
+        boxes3 = jnp.tile(bank.boxes, (3, 1))          # [3T, 4]
+        scales3 = jnp.repeat(scale_vals, t_cap)        # [3T]
+        f3 = _features_at(frame_gray, boxes3, cfg, scales3)
+        f3 = f3.reshape((3, t_cap) + f3.shape[1:])     # [3, T, C, S, S]
+        r3 = kcf_ops.detect(bank.model, f3, cfg.kernel_sigma)
+        dys, dxs, peaks = kcf_ops.peak_displacement(
+            r3.reshape(3 * t_cap, s, s))
+        dys = dys.reshape(3, t_cap)                    # [3, T]
+        dxs = dxs.reshape(3, t_cap)
+        peaks = peaks.reshape(3, t_cap)
         w = jnp.asarray([cfg.scale_weight, 1.0, cfg.scale_weight],
                         jnp.float32)[:, None]
         best = jnp.argmax(peaks * w, axis=0)           # [T]
         take = lambda a: jnp.take_along_axis(a, best[None], axis=0)[0]
         dy, dx, peak = take(dys), take(dxs), take(peaks)
-        scale_vals = jnp.asarray([1.0 / step, 1.0, step], jnp.float32)
         best_scale = scale_vals[best]
 
     cx, cy, w, h = (bank.boxes[:, 0], bank.boxes[:, 1],

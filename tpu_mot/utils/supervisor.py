@@ -73,7 +73,10 @@ class StreamSupervisor:
         except Exception:
             # Roll back to the last good snapshot and re-seed from the
             # current detections (tracker state is ephemeral by design —
-            # recovery cost is one frame of tentative tracks).
+            # recovery cost is one frame of tentative tracks).  One failed
+            # frame event = ONE failure count, regardless of how many
+            # recovery stages it takes — the counter an operator alarms on
+            # means "frames affected", not "recovery attempts".
             self.failures += 1
             self.last_recovery_frame = self.frame_idx
             self._restore()
@@ -93,11 +96,27 @@ class StreamSupervisor:
                 # emit an empty output — persisting the corrupt retry
                 # bank would defeat the health gate ("never raises"
                 # contract includes the retry path).
-                self.failures += 1
-                self.bank, out = step_mod.step(
-                    self.bank, jnp.zeros_like(jnp.asarray(frame)),
-                    jnp.zeros_like(jnp.asarray(dets)),
-                    jnp.zeros_like(jnp.asarray(det_valid)), self.cfg)
+                try:
+                    self.bank, out = step_mod.step(
+                        self.bank, jnp.zeros_like(jnp.asarray(frame)),
+                        jnp.zeros_like(jnp.asarray(dets)),
+                        jnp.zeros_like(jnp.asarray(det_valid)), self.cfg)
+                except Exception:
+                    # Persistent device/tunnel fault: even the zero-input
+                    # step failed.  Synthesize an empty host-side output so
+                    # the "never raises on stream" contract survives a
+                    # wedged device (the next frame retries normally).
+                    t = self.cfg.max_tracks
+                    out = step_mod.StepOutput(
+                        ids=np.full((t,), -1, np.int32),
+                        boxes=np.zeros((t, 4), np.float32),
+                        scores=np.zeros((t,), np.float32),
+                        valid=np.zeros((t,), bool),
+                        matched_det=np.full((t,), -1, np.int32),
+                        n_alive=np.int32(0), n_births=np.int32(0),
+                        n_deaths=np.int32(0), n_matches=np.int32(0),
+                        assign_iters=np.int32(0),
+                        assign_converged=np.bool_(True))
         self.frame_idx += 1
         if self.frame_idx % self.snapshot_every == 0:
             self._snap()
