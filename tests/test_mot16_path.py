@@ -135,3 +135,26 @@ def test_cli_eval_aggregate(mot_dir, tmp_path, capsys):
     assert overall["mota"] > 0.5
     assert os.path.exists(os.path.join(out_dir, "SEQ-01.txt"))
     assert os.path.exists(os.path.join(out_dir, "SEQ-02.txt"))
+
+
+def test_cli_video_strided_detector(tmp_path, capsys):
+    """`tpu_mot video --det-stride N`: detect+track a tiny clip with the
+    detector running every Nth frame inside the scanned cond."""
+    import numpy as np
+    from tpu_mot.cli import main
+
+    frames = (np.random.default_rng(0).random((6, 96, 128)) * 255).astype(
+        np.uint8)
+    path = str(tmp_path / "clip.mp4")
+    try:
+        from tpu_mot.utils.viz import write_video
+        write_video(path, [(f, []) for f in frames], fps=10)
+    except Exception:
+        import pytest
+        pytest.skip("video writer unavailable")
+    rc = main(["video", "--input", path, "--model", "yolov2-tiny",
+               "--classes", "1", "--det-stride", "3", "--max-dets", "8",
+               "--max-tracks", "8", "--chunk", "6"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "detect+track" in out

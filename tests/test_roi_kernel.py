@@ -196,3 +196,77 @@ def test_pyramid_shapes_and_content():
     for lv, arr in enumerate(levels):
         assert arr.shape[0] % 8 == 0 and arr.shape[1] % 128 == 0
         assert arr.shape[0] >= roi.BLK_ROWS and arr.shape[1] >= roi.BLK_COLS
+
+
+def test_scales_kernel_matches_per_scale_extraction():
+    """extract_patches_scales_pallas (one DMA per track feeding all scale
+    resamples) == K separate extract_patches_pallas calls wherever all
+    scale windows select the same pyramid level (non-straddling tracks);
+    straddling tracks agree within the mip-level approximation."""
+    rng = np.random.default_rng(1)
+    frame = rng.random((240, 320)).astype(np.float32)
+    # Small boxes: every scale window well under MAX_WIN -> all level 0.
+    boxes = np.array([[70.0, 50.0, 20.0, 26.0],
+                      [150.0, 120.0, 40.0, 30.0],
+                      [250.0, 60.0, 16.0, 16.0]], np.float32)
+    scales = (1 / 1.05, 1.0, 1.05)
+    got = np.asarray(roi.extract_patches_scales_pallas(
+        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64, scales,
+        interpret=True, dtype=jnp.float32))            # [3, T, S, S]
+    for k, sv in enumerate(scales):
+        want = np.asarray(roi.extract_patches_pallas(
+            jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64,
+            jnp.full((3,), sv, jnp.float32), interpret=True,
+            dtype=jnp.float32))
+        np.testing.assert_allclose(got[k], want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"scale {sv}")
+
+
+def test_scales_kernel_straddling_level_boundary():
+    """A box whose scale windows straddle a pyramid-level boundary: the
+    shared-DMA kernel samples the max-scale level for all scales — finite
+    output, close to the per-scale formulation within the level-resample
+    approximation."""
+    rng = np.random.default_rng(2)
+    # Smooth low-frequency texture (the natural-image regime the mip
+    # approximation is designed for — on white noise a level-1 resample
+    # legitimately differs by ~the noise sigma).
+    frame = np.kron(rng.random((60, 80)),
+                    np.ones((8, 8))).astype(np.float32)
+    # win = 50 * 2.5 = 125 at unit scale; 1.05 scale -> 131 > MAX_WIN:
+    # unit/min scales pick level 0 per-scale, max scale picks level 1.
+    boxes = np.array([[300.0, 240.0, 50.0, 50.0]], np.float32)
+    scales = (1 / 1.05, 1.0, 1.05)
+    got = np.asarray(roi.extract_patches_scales_pallas(
+        jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64, scales,
+        interpret=True, dtype=jnp.float32))
+    assert np.isfinite(got).all()
+    for k, sv in enumerate(scales):
+        want = np.asarray(roi.extract_patches_pallas(
+            jnp.asarray(frame), jnp.asarray(boxes), 2.5, 64,
+            jnp.full((1,), sv, jnp.float32), interpret=True,
+            dtype=jnp.float32))
+        # max scale shares the level -> exact; smaller scales sample one
+        # level coarser than per-scale would: same approximation class
+        # as the pyramid (small on smooth content).
+        assert np.mean(np.abs(got[k] - want)) < 0.03, (
+            k, sv, float(np.mean(np.abs(got[k] - want))))
+
+
+def test_scales_kernel_u8_pyramid():
+    """u8 ingest frames ride the shared-DMA scale kernel with the dequant
+    folded into the weights (parity with the f32 pyramid)."""
+    rng = np.random.default_rng(3)
+    frame_u8 = (rng.random((240, 320)) * 255).astype(np.uint8)
+    boxes = np.array([[70.0, 50.0, 20.0, 26.0],
+                      [150.0, 120.0, 40.0, 30.0]], np.float32)
+    scales = (1 / 1.05, 1.0, 1.05)
+    levels = roi.build_pyramid(jnp.asarray(frame_u8))
+    got_u8 = np.asarray(roi.extract_patches_scales_pallas(
+        jnp.asarray(frame_u8), jnp.asarray(boxes), 2.5, 64, scales,
+        interpret=True, levels=levels, frame_hw=frame_u8.shape))
+    got_f32 = np.asarray(roi.extract_patches_scales_pallas(
+        jnp.asarray(frame_u8.astype(np.float32) / 255.0),
+        jnp.asarray(boxes), 2.5, 64, scales, interpret=True,
+        dtype=jnp.float32))
+    np.testing.assert_allclose(got_u8, got_f32, atol=3e-3)

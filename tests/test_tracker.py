@@ -436,3 +436,21 @@ def test_chunked_remainder_matches_unchunked():
     for a, b in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_update_async_matches_update():
+    """update_async + unpack == update, frame for frame (the async path
+    must only skip the fetch, not change the math)."""
+    frames, dets, _ = _make_scene(n_obj=4, n_frames=6, seed=11)
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=240,
+                        frame_width=320, n_init=1)
+    mt_sync = MultiTracker(cfg)
+    mt_async = MultiTracker(cfg)
+    got_sync = [mt_sync.init(frames[0], dets[0])]
+    mt_async.init(frames[0], dets[0])
+    pending = []
+    for f in range(1, 6):
+        got_sync.append(mt_sync.update(frames[f], dets[f]))
+        pending.append(mt_async.update_async(frames[f], dets[f]))
+    got_async = [mt_async.unpack(o) for o in pending]
+    assert got_sync[1:] == got_async

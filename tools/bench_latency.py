@@ -68,6 +68,19 @@ def main() -> None:
         lat.append((time.perf_counter() - t0) * 1e3)
     lat = np.asarray(lat)
 
+    # --- async serving shape: update_async chained, one fetch -----------
+    # The per-call fetch is what exposes the RTT; a serving loop that
+    # reports every Kth frame chains update_async and fetches once.
+    mt2 = MultiTracker(cfg)
+    mt2.init(frames_u8[0], dets_list[0])
+    mt2.update_async(frames_u8[1], dets_list[1])
+    t0 = time.perf_counter()
+    last = None
+    for f in range(2, n_frames):
+        last = mt2.update_async(frames_u8[f], dets_list[f])
+    mt2.unpack(last)                              # one fetch at the end
+    async_ms = (time.perf_counter() - t0) / (n_frames - 2) * 1e3
+
     # --- tunnel RTT floor: minimal dependent device round trip ----------
     @jax.jit
     def bump(x):
@@ -84,24 +97,50 @@ def main() -> None:
         rtts.append((time.perf_counter() - t0) * 1e3)
     rtts = np.asarray(rtts)
 
+    # --- tunnel H2D cost of one 1080p u8 frame --------------------------
+    # The dominant per-call term on this harness: a 2 MB frame upload
+    # rides the HTTP tunnel at tens of MB/s.  Direct-attached PCIe moves
+    # the same frame in ~0.2 ms — this term is a harness artifact in the
+    # same class as the RTT.
+    jax.block_until_ready(jax.device_put(frames_u8[0]))   # warm
+    h2ds = []
+    for f in range(2, 26):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(frames_u8[f % n_frames]))
+        h2ds.append((time.perf_counter() - t0) * 1e3)
+    h2ds = np.asarray(h2ds)
+
     p50 = float(np.percentile(lat, 50))
     p90 = float(np.percentile(lat, 90))
     rtt50 = float(np.percentile(rtts, 50))
-    net = max(p50 - rtt50, 0.0)
+    h2d50 = float(np.percentile(h2ds, 50))
+    net = max(p50 - h2d50 - small_fetch_overlap(rtt50, h2d50), 0.0)
 
     print(json.dumps({
         "metric": "1080p@128trk per-frame MultiTracker.update latency",
         "value": round(p50, 2),
-        "unit": "ms (p50, incl. tunnel RTT)",
+        "unit": "ms (p50, incl. tunnel RTT + tunnel H2D)",
         "extra": {
             "p90_ms": round(p90, 2),
+            "update_async_chained_ms_per_frame": round(async_ms, 2),
             "tunnel_rtt_p50_ms": round(rtt50, 2),
+            "tunnel_h2d_2mb_frame_p50_ms": round(h2d50, 2),
             "net_framework_ms_p50": round(net, 2),
             "net_fps_equiv": round(1e3 / net, 1) if net > 0 else None,
             "n_calls": int(lat.size),
+            "note": "net = p50 - frame H2D - dispatch RTT; on a "
+                    "direct-attached chip H2D is ~0.2 ms and RTT ~0, so "
+                    "serving latency there ~= net + 0.2 ms",
             "device": str(jax.devices()[0]),
         },
     }))
+
+
+def small_fetch_overlap(rtt50: float, h2d50: float) -> float:
+    """The update call's dispatch+fetch round trip: one RTT (the H2D
+    transfer itself already includes its own round trip, measured
+    separately, so count the dispatch RTT once)."""
+    return rtt50
 
 
 if __name__ == "__main__":

@@ -52,7 +52,7 @@ def main() -> None:
     cfg = TrackerConfig(max_tracks=128, max_detections=d_cap,
                         frame_height=height, frame_width=width)
 
-    for s_streams in (1, 2, 4):
+    for s_streams in (1, 2, 4, 8):
         try:
             fj = jnp.asarray(np.broadcast_to(
                 frames_u8[:, None], (n_frames, s_streams, height, width))

@@ -162,6 +162,26 @@ def check_roi():
     merr = np.abs(got_b - want_b).max()
     results["roi mip same-level maxabs"] = float(merr)
     assert merr < 1e-4, f"mip-level kernel drift vs XLA oracle: {merr}"
+
+    # --- shared-DMA scales kernel (r3): compiled vs per-scale kernel ----
+    # Level-0 boxes: every scale window selects level 0 in both
+    # formulations, so the shared-DMA kernel must match the per-scale
+    # kernel exactly (same weights, same block, same dots).
+    scale_tuple = (1 / 1.05, 1.0, 1.05)
+    got_s = np.asarray(jax.jit(
+        lambda f, b, ls: roi.extract_patches_scales_pallas(
+            f, b, padding, size, scale_tuple, levels=ls,
+            frame_hw=(h, w)))(frame_u8, boxes, levels_u8))
+    serr = 0.0
+    for k, sv in enumerate(scale_tuple):
+        per = np.asarray(jax.jit(
+            lambda f, b, ls, _sv=sv: roi.extract_patches_pallas(
+                f, b, padding, size,
+                jnp.full((b.shape[0],), _sv, jnp.float32), levels=ls,
+                frame_hw=(h, w)))(frame_u8, boxes, levels_u8))
+        serr = max(serr, float(np.abs(got_s[k] - per).max()))
+    results["roi scales-kernel vs per-scale maxabs"] = serr
+    assert serr < 8e-3, f"scales-kernel parity out of budget: {serr}"
     return results
 
 

@@ -289,11 +289,23 @@ def cmd_video(args) -> int:
     all_tracks = []
     t0 = time.perf_counter()
     for chunk in ChunkedVideoPipeline(frames, chunk=args.chunk):
-        dets, valid, _ = det.detect(chunk)
-        dets_list = [d[v] for d, v in zip(dets, valid)]
-        bank, tracks, _ = scan.track_sequence(chunk, dets_list, cfg,
-                                              bank=bank)
-        all_tracks.extend(tracks)
+        if args.det_stride > 1:
+            # Strided detection (SURVEY §3.2 "every frame or strided"):
+            # the CNN runs inside a lax.cond every Nth frame; KCF
+            # correlation carries tracks between detector frames.
+            import jax.numpy as jnp
+            bank, outs = scan.run_sequence_strided_detector(
+                bank, jnp.asarray(chunk), det.params, cfg, spec,
+                args.det_stride,
+                score_thr=(args.det_min if args.det_min is not None
+                           else 0.3))
+            all_tracks.extend(scan.unpack_outputs(outs, len(chunk)))
+        else:
+            dets, valid, _ = det.detect(chunk)
+            dets_list = [d[v] for d, v in zip(dets, valid)]
+            bank, tracks, _ = scan.track_sequence(chunk, dets_list, cfg,
+                                                  bank=bank)
+            all_tracks.extend(tracks)
     dt = time.perf_counter() - t0
     print(f"detect+track {len(frames)} frames in {dt:.2f}s "
           f"({len(frames) / dt:.0f} fps)")
@@ -355,6 +367,10 @@ def main(argv=None) -> int:
     p.add_argument("--classes", type=int, default=80)
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--det-min", type=float, default=0.3)
+    p.add_argument("--det-stride", type=int, default=1,
+                   help="run the detector every Nth frame (lax.cond "
+                        "inside the scan; KCF carries tracks between "
+                        "detector frames — SURVEY §3.2 strided mode)")
     p.set_defaults(fn=cmd_video)
 
     args = ap.parse_args(argv)

@@ -246,6 +246,186 @@ def _roi_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
         out_ref[k] = out
 
 
+def _scales_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
+                   l0, l1, l2, l3, out_ref, scratch, sem,
+                   tpp: int = TRACKS_PER_PROG, nbuf: int = N_BUFFERS,
+                   n_scales: int = 3, scale: float = 1.0):
+    """Multi-scale variant of _roi_kernel: ONE window DMA per track feeds
+    n_scales resamples (the ±5% scale windows overlap ~95%, so re-reading
+    the block per scale — what the [3T]-batched layout does — wastes 2/3
+    of the ROI DMA traffic and grid programs).
+
+    ys_ref/xs_ref : [n_scales, T, S] per-scale sample coords (scale-major
+        so the kernel indexes scales statically — a [T, K*S] layout hits
+        Mosaic's "dynamic load with unaligned indices" on the 64-px
+        column offsets, bisected 2026-08-17).
+    out_ref block : [tpp, n_scales, S, S].
+    """
+    g = pl.program_id(0)
+    levels = (l0, l1, l2, l3)
+
+    def start_dma(k, slot):
+        t = g * tpp + k
+        lvl = lvl_ref[t]
+        r0 = pl.multiple_of(r0_ref[t], 8)
+        c0 = pl.multiple_of(c0_ref[t], 128)
+        for lv in range(N_LEVELS):
+            @pl.when(lvl == lv)
+            def _():
+                pltpu.make_async_copy(
+                    levels[lv].at[pl.ds(r0, BLK_ROWS), pl.ds(c0, BLK_COLS)],
+                    scratch.at[slot], sem.at[slot]).start()
+
+    def wait_dma(k, slot):
+        t = g * tpp + k
+        lvl = lvl_ref[t]
+        r0 = pl.multiple_of(r0_ref[t], 8)
+        c0 = pl.multiple_of(c0_ref[t], 128)
+        for lv in range(N_LEVELS):
+            @pl.when(lvl == lv)
+            def _():
+                pltpu.make_async_copy(
+                    levels[lv].at[pl.ds(r0, BLK_ROWS), pl.ds(c0, BLK_COLS)],
+                    scratch.at[slot], sem.at[slot]).wait()
+
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1, BLK_ROWS), 1).astype(jnp.float32)
+    col_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1, BLK_COLS), 1).astype(jnp.float32)
+    s_out = out_ref.shape[-1]
+
+    for j in range(min(nbuf - 1, tpp)):
+        start_dma(j, j % nbuf)
+    for k in range(tpp):
+        slot = k % nbuf
+        nxt = k + nbuf - 1
+        if nxt < tpp:
+            start_dma(nxt, nxt % nbuf)
+        wait_dma(k, slot)
+        t = g * tpp + k
+        r0f = r0_ref[t].astype(jnp.float32)
+        c0f = c0_ref[t].astype(jnp.float32)
+        blk = scratch[slot]
+        if blk.dtype == jnp.uint8:
+            # Mosaic has no direct u8->f32 cast; widen through int32.
+            blk = blk.astype(jnp.int32)
+        blk = blk.astype(jnp.float32)
+        for sc in range(n_scales):
+            ys = ys_ref[sc, t, :] - r0f
+            xs = xs_ref[sc, t, :] - c0f
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_iota))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - col_iota))
+            if scale != 1.0:
+                wy = wy * scale          # u8 dequant folded into weights
+            tmp = jnp.dot(wy, blk, preferred_element_type=jnp.float32,
+                          precision=_DOT_PRECISION)
+            out_ref[k, sc] = jax.lax.dot_general(
+                tmp, wx, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION)
+
+
+def extract_patches_scales_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
+                                  padding: float, size: int,
+                                  scale_vals: tuple,
+                                  interpret: bool = False,
+                                  levels=None, frame_hw=None,
+                                  dtype=None,
+                                  tracks_per_prog: int | None = None,
+                                  n_buffers: int | None = None
+                                  ) -> jnp.ndarray:
+    """Scale-pyramid ROI extraction with one DMA per track:
+    [H, W] frame + [T, 4] boxes + K static scales → [K, T, S, S].
+
+    Semantics vs K separate extract_patches_pallas calls: identical
+    except the pyramid LEVEL is chosen once per track from the LARGEST
+    scale window (so one block covers all K windows).  Tracks whose
+    windows straddle a level boundary (win/MAX_WIN within the scale
+    spread of a power of two) sample the coarser level for their smaller
+    scales — the same approximation class as the mip pyramid itself
+    (quality asserted by the bench MOTA gate; exactness tested for
+    non-straddling tracks in tests/test_roi_kernel.py).
+    """
+    t_cap = boxes.shape[0]
+    k_sc = len(scale_vals)
+    if levels is None:
+        h, w = gray.shape
+        levels = build_pyramid(gray, dtype=dtype)
+    else:
+        h, w = frame_hw
+    shapes = _level_shapes(h, w)
+
+    cx, cy, bw, bh = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bw = jnp.maximum(bw, 1.0)
+    bh = jnp.maximum(bh, 1.0)
+    smax = float(max(scale_vals))
+    win_max = jnp.maximum(bw, bh) * (padding * smax)
+    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(win_max / MAX_WIN, 1.0))),
+                   0, N_LEVELS - 1).astype(jnp.int32)
+    scale = 2.0 ** lvl.astype(jnp.float32)
+    lh = jnp.asarray([-(-h // (1 << k)) for k in range(N_LEVELS)],
+                     jnp.float32)[lvl]
+    lw = jnp.asarray([-(-w // (1 << k)) for k in range(N_LEVELS)],
+                     jnp.float32)[lvl]
+    u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size - 0.5
+    ys_k, xs_k = [], []
+    for sv in scale_vals:
+        win_w = bw * (padding * float(sv))
+        win_h = bh * (padding * float(sv))
+        ys_k.append(jnp.clip(
+            (cy[:, None] + u[None, :] * win_h[:, None] + 0.5)
+            / scale[:, None] - 0.5, 0.0, (lh - 1.0)[:, None]))
+        xs_k.append(jnp.clip(
+            (cx[:, None] + u[None, :] * win_w[:, None] + 0.5)
+            / scale[:, None] - 0.5, 0.0, (lw - 1.0)[:, None]))
+    ys = jnp.stack(ys_k, axis=0)                     # [K, T, S]
+    xs = jnp.stack(xs_k, axis=0)
+    # Block origin from the EARLIEST first-row/col over scales (largest
+    # window starts first; clamping can reorder, so take the min).
+    y0 = jnp.min(jnp.stack([yk[:, 0] for yk in ys_k]), axis=0)
+    x0 = jnp.min(jnp.stack([xk[:, 0] for xk in xs_k]), axis=0)
+    max_r0 = jnp.asarray([s[0] - BLK_ROWS for s in shapes], jnp.int32)[lvl]
+    max_c0 = jnp.asarray([s[1] - BLK_COLS for s in shapes], jnp.int32)[lvl]
+    r0 = jnp.clip((jnp.floor(y0).astype(jnp.int32) // 8) * 8, 0, max_r0)
+    c0 = jnp.clip((jnp.floor(x0).astype(jnp.int32) // 128) * 128, 0, max_c0)
+
+    tpp = tracks_per_prog or TRACKS_PER_PROG
+    nbuf = n_buffers or N_BUFFERS
+    t_pad = _ceil_mult(t_cap, tpp)
+    if t_pad != t_cap:
+        pad = ((0, t_pad - t_cap),)
+        lvl = jnp.pad(lvl, pad)
+        r0 = jnp.pad(r0, pad)
+        c0 = jnp.pad(c0, pad)
+        ys = jnp.pad(ys, ((0, 0),) + pad + ((0, 0),))
+        xs = jnp.pad(xs, ((0, 0),) + pad + ((0, 0),))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_pad // tpp,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # ys [K, T, S]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # xs
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * N_LEVELS,
+        out_specs=pl.BlockSpec((tpp, k_sc, size, size),
+                               lambda g, *_: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, BLK_ROWS, BLK_COLS), levels[0].dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+    )
+    dequant = 1.0 / 255.0 if levels[0].dtype == jnp.uint8 else 1.0
+    out = pl.pallas_call(
+        functools.partial(_scales_kernel, tpp=tpp, nbuf=nbuf,
+                          n_scales=k_sc, scale=dequant),
+        out_shape=jax.ShapeDtypeStruct((t_pad, k_sc, size, size),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lvl, r0, c0, ys, xs, *levels)
+    return jnp.swapaxes(out[:t_cap], 0, 1)           # [K, T, S, S]
+
+
 def _sample_coords(boxes, padding, size, scales):
     """Per-track pyramid level + block origin + block-level sample coords."""
     cx, cy, w, h = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]

@@ -72,6 +72,33 @@ class MultiTracker:
         self.last_output = out
         return self._unpack(out)
 
+    def update_async(self, frame, detections=None):
+        """update() without the synchronous host fetch: dispatches the
+        step and returns the device-resident StepOutput immediately.
+
+        The per-frame `update` pays a device→host round trip per call
+        (on a tunneled dev harness that is the dominant cost —
+        tools/bench_latency.py decomposes it).  A serving loop that
+        doesn't need every frame's boxes on host can chain update_async
+        calls back-to-back (the bank carry keeps them ordered on device)
+        and call `unpack(out)` only on the frames it reports.
+        """
+        if self.bank is None:
+            raise RuntimeError("call init() first")
+        if detections is None:
+            detections = np.zeros((0, 5), np.float32)
+        dets, valid = pad_detections(detections, self.cfg.max_detections)
+        self.bank, out = step_mod.step(
+            self.bank, jnp.asarray(frame), jnp.asarray(dets),
+            jnp.asarray(valid), self.cfg)
+        self.last_output = out
+        return out
+
+    def unpack(self, out):
+        """Fetch + unpack a StepOutput from update_async:
+        [(id, (cx, cy, w, h), score)]."""
+        return self._unpack(out)
+
     def _unpack(self, out):
         ids = np.asarray(out.ids)
         boxes = np.asarray(out.boxes)

@@ -61,6 +61,61 @@ def run_sequence(bank, frames: jnp.ndarray, dets: jnp.ndarray,
                         (frames, dets, det_valid, frame_valid))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "stride",
+                                             "iou_thr", "score_thr",
+                                             "nms_impl"))
+def run_sequence_strided_detector(bank, frames: jnp.ndarray, params,
+                                  cfg: TrackerConfig, spec, stride: int,
+                                  iou_thr: float = 0.45,
+                                  score_thr: float = 0.3,
+                                  nms_impl: str = "greedy"):
+    """Detect-track a clip with the detector run every `stride`-th frame —
+    the reference lineage's strided-detection serving mode (SURVEY §3.2:
+    "CNN forward; every frame or strided").  Between detector frames the
+    KCF correlation keeps tracks locked (step 5's pseudo-measurement
+    path), which is exactly why the reference pairs KCF with SORT-style
+    association instead of running IoU-only.
+
+    The detector branch lives in a `lax.cond`, which lowers to an XLA
+    conditional: the CNN executes ONLY on stride frames (amortizing
+    detector cost by 1/stride), not select-both-branches — the scan body
+    carries no batch axis that would degrade the cond to a select.
+
+    bank   : TrackBank carry.
+    frames : [N, H, W] (or [N, H, W, 3]) stack.
+    params : detector params dict {"params", "batch_stats"}.
+    spec   : models.yolo.YoloSpec (static).
+    stride : run the detector on frames where i % stride == 0.
+    Returns (final bank, StepOutput stacked over N).
+    Equality contract: identical to run_sequence fed detections computed
+    at the same stride frames and empty elsewhere
+    (tests/test_detector.py::test_strided_detector_equality).
+    """
+    from tpu_mot.models.detector import detect_batch
+
+    d_cap = cfg.max_detections
+    hw = (cfg.frame_height, cfg.frame_width)
+
+    def body(carry, frame):
+        b, i = carry
+
+        def with_det(_):
+            d, v, _ = detect_batch(params, frame[None], spec, hw, d_cap,
+                                   iou_thr, score_thr, nms_impl=nms_impl)
+            return d[0], v[0]
+
+        def without(_):
+            return (jnp.zeros((d_cap, 5), jnp.float32),
+                    jnp.zeros((d_cap,), bool))
+
+        d, v = jax.lax.cond(i % stride == 0, with_det, without, None)
+        nb, out = step_mod.step(b, frame, d, v, cfg)
+        return (nb, i + 1), out
+
+    (bank, _), outs = jax.lax.scan(body, (bank, jnp.int32(0)), frames)
+    return bank, outs
+
+
 def track_sequence(frames, detections, cfg: TrackerConfig | None = None,
                    bank=None, chunk: int | None = None):
     """Host convenience: numpy frames + per-frame detection lists → tracks.
@@ -117,11 +172,16 @@ def track_sequence(frames, detections, cfg: TrackerConfig | None = None,
             out = jax.tree.map(lambda a: a[: hi - lo], out)
         outs.append(jax.tree.map(np.asarray, out))
     stacked = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *outs)
+    return bank, unpack_outputs(stacked, n), stacked
 
+
+def unpack_outputs(stacked, n: int):
+    """Stacked StepOutput → per-frame [(id, (cx, cy, w, h), score)]."""
+    stacked = jax.tree.map(np.asarray, stacked)
     tracks = []
     for f in range(n):
         sel = np.where(stacked.valid[f])[0]
         tracks.append([(int(stacked.ids[f, i]),
                         tuple(float(x) for x in stacked.boxes[f, i]),
                         float(stacked.scores[f, i])) for i in sel])
-    return bank, tracks, stacked
+    return tracks

@@ -171,9 +171,26 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             # tests/test_tracker.py::test_scale_batched_matches_sequential).
             sstep = cfg.kcf.scale_step
             scale_vals = jnp.asarray([1.0 / sstep, 1.0, sstep], jnp.float32)
-            boxes3 = jnp.tile(pred_boxes, (3, 1))                # [3T, 4]
-            scales3 = jnp.repeat(scale_vals, t_cap)              # [3T]
-            f3 = _features_at(gray, boxes3, cfg, levels, scales=scales3)
+            if levels is not None:
+                # Pallas path: the three ±5% scale windows overlap ~95%,
+                # so ONE window DMA per track feeds all three resamples
+                # (kernels/roi.extract_patches_scales_pallas) — 1/3 the
+                # ROI traffic and grid programs of the generic [3T]
+                # layout.  Level is chosen from the largest scale window
+                # (same approximation class as the mip pyramid itself).
+                from tpu_mot.kernels import roi as _roi
+                p3 = _roi.extract_patches_scales_pallas(
+                    gray, pred_boxes, cfg.kcf.padding,
+                    cfg.kcf.template_size,
+                    (1.0 / sstep, 1.0, sstep), levels=levels,
+                    frame_hw=(cfg.frame_height, cfg.frame_width))
+                f3 = feat_ops.extract_features(
+                    p3.reshape((3 * t_cap,) + p3.shape[2:]), cfg.kcf)
+            else:
+                boxes3 = jnp.tile(pred_boxes, (3, 1))            # [3T, 4]
+                scales3 = jnp.repeat(scale_vals, t_cap)          # [3T]
+                f3 = _features_at(gray, boxes3, cfg, levels,
+                                  scales=scales3)
             f3 = f3.reshape((3, t_cap) + f3.shape[1:])           # [3,T,C,S,S]
             r3 = kcf_ops.detect_scales_auto(
                 bank.kcf, f3, cfg.kcf.kernel_sigma, cfg.kcf_impl,
