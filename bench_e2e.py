@@ -161,6 +161,24 @@ def main() -> None:
 
     e2e_fast_ms = _marginal_ms(e2e_fast_chain, n_frames)
 
+    # ---- stage 5: strided detection (detector every 3rd frame) ---------
+    # The reference lineage's "every frame or strided" serving mode
+    # (SURVEY §3.2): the CNN runs in a lax.cond on stride frames, KCF
+    # carries tracks between — detector cost amortized by 1/stride.
+    from tpu_mot.tracker import scan as scan_mod
+    stride = 3
+
+    def e2e_strided_chain(n):
+        bank = bank0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            bank, outs = scan_mod.run_sequence_strided_detector(
+                bank, fj, det.params, cfg, spec, stride, score_thr=0.3)
+        float(np.asarray(outs.n_alive).sum())       # forced fetch
+        return time.perf_counter() - t0
+
+    e2e_strided_ms = _marginal_ms(e2e_strided_chain, n_frames)
+
     print(json.dumps({
         "metric": "720p detect+track full-pipeline frames/sec/chip",
         "value": round(e2e_fps, 1),
@@ -171,6 +189,8 @@ def main() -> None:
             "e2e_ms_per_frame": round(e2e_ms, 3),
             "e2e_bf16_fastnms_ms_per_frame": round(e2e_fast_ms, 3),
             "e2e_bf16_fastnms_fps": round(1e3 / e2e_fast_ms, 1),
+            "e2e_strided3_ms_per_frame": round(e2e_strided_ms, 3),
+            "e2e_strided3_fps": round(1e3 / e2e_strided_ms, 1),
             "detector_fps": round(1e3 / det_ms, 1),
             "tracker_fps": round(1e3 / trk_ms, 1),
             "model": spec.name,

@@ -52,6 +52,20 @@ def _to_input_px(boxes):
     return b
 
 
+
+def _iou(a, b):
+    """IoU of two cxcywh boxes."""
+    ax1, ay1 = a[0] - a[2] / 2, a[1] - a[3] / 2
+    ax2, ay2 = a[0] + a[2] / 2, a[1] + a[3] / 2
+    bx1, by1 = b[0] - b[2] / 2, b[1] - b[3] / 2
+    bx2, by2 = b[0] + b[2] / 2, b[1] + b[3] / 2
+    iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+    ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+    inter = iw * ih
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
@@ -83,45 +97,57 @@ def main() -> None:
                              ((12, 12), (20, 20), (30, 30))),
                     bn_momentum=0.9)
 
-    # --- phase 1: train ------------------------------------------------
-    train_scenes = _scenes(range(8), 24)       # 192 frames
+    # --- phase 1: train (device-resident scanned loop) -----------------
+    # The first version dispatched one tunnel round trip per step (8
+    # frames of H2D each — 600 steps took 17 min); here the whole
+    # dataset + per-frame targets upload ONCE and a lax.scan runs every
+    # step on device: minutes → seconds.
+    train_scenes = _scenes(range(48), 24)      # 1152 frames
     frames_all = np.concatenate([s[0] for s in train_scenes])
     boxes_all = np.concatenate([s[1] for s in train_scenes])
     vis_all = np.concatenate([s[2] for s in train_scenes])
+    n_data = len(frames_all)
 
-    tx = optax.adam(1e-3)
+    tgts_all = train_mod.build_targets(
+        spec, _to_input_px(boxes_all),
+        np.zeros((n_data, N_OBJ), np.int64), vis_all)     # per-head [N,...]
+    imgs_all = jax.image.resize(
+        jnp.asarray(frames_all)[..., None].repeat(3, -1),
+        (n_data, INPUT, INPUT, 3), "bilinear")
+    tgts_all = [jnp.asarray(t) for t in tgts_all]
+    rng = np.random.default_rng(0)
+    batch_idx = jnp.asarray(
+        rng.integers(0, n_data, (args.steps, args.batch)), jnp.int32)
+
+    tx = optax.adam(optax.cosine_decay_schedule(1e-3, args.steps, 0.05))
     state = train_mod.init_train_state(spec, tx, seed=0)
     step_fn = train_mod.make_train_step(spec, tx)
-    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def train_all(state, imgs_all, tgts_all, batch_idx):
+        def body(st, idx):
+            imgs = jnp.take(imgs_all, idx, axis=0)
+            tgts = [jnp.take(t, idx, axis=0) for t in tgts_all]
+            st, loss = step_fn(st, imgs, tgts)
+            return st, loss
+        return jax.lax.scan(body, state, batch_idx)
+
     t0 = time.time()
-    loss0 = loss = None
-    for it in range(args.steps):
-        idx = rng.integers(0, len(frames_all), args.batch)
-        imgs = jax.image.resize(
-            jnp.asarray(frames_all[idx])[..., None].repeat(3, -1),
-            (args.batch, INPUT, INPUT, 3), "bilinear")
-        tgts = train_mod.build_targets(
-            spec, _to_input_px(boxes_all[idx]),
-            np.zeros((args.batch, N_OBJ), np.int64), vis_all[idx])
-        state, loss = step_fn(state, imgs, [jnp.asarray(t) for t in tgts])
-        if it == 0:
-            loss0 = float(loss)
-        if it % 100 == 0:
-            print(json.dumps({"phase": "train", "step": it,
-                              "loss": round(float(loss), 4)}), flush=True)
+    state, losses = train_all(state, imgs_all, tgts_all, batch_idx)
+    losses = np.asarray(losses)
     params = {"params": state[0], "batch_stats": state[1]}
     print(json.dumps({"phase": "train", "steps": args.steps,
-                      "loss_first": round(loss0, 4),
-                      "loss_final": round(float(loss), 4),
+                      "loss_first": round(float(losses[0]), 4),
+                      "loss_final": round(float(losses[-1]), 4),
                       "seconds": round(time.time() - t0, 1)}), flush=True)
 
-    # --- phase 2: held-out mAP ----------------------------------------
+    # --- phase 2: held-out mAP + operating-point selection -------------
     val_scenes = _scenes((100, 101), 12)       # 24 held-out frames
     vframes = np.concatenate([s[0] for s in val_scenes])
     vboxes = np.concatenate([s[1] for s in val_scenes])
     vvis = np.concatenate([s[2] for s in val_scenes])
     dets, valid, classes = detect_batch(
-        params, jnp.asarray(vframes), spec, (H, W), 32, 0.45, 0.3)
+        params, jnp.asarray(vframes), spec, (H, W), 64, 0.45, 0.05)
     dets, valid, classes = (np.asarray(dets), np.asarray(valid),
                             np.asarray(classes))
     pred = [(dets[f, valid[f], :4], dets[f, valid[f], 4],
@@ -129,17 +155,53 @@ def main() -> None:
     gt = [(vboxes[f, vvis[f]], np.zeros(int(vvis[f].sum()), np.int64))
           for f in range(len(vframes))]
     m_ap = metrics.detection_map(pred, gt, num_classes=1)
+
+    # MOTA ~ 1 - (FP + FN + IDSW)/GT: pick the score threshold that
+    # maximizes detection F1 on validation (a low fixed threshold feeds
+    # the tracker FP clutter that MOTA punishes; this is the operating
+    # point any deployment would tune).
+    def det_f1(thr):
+        tp = fp = fn = 0
+        for f in range(len(vframes)):
+            pb = dets[f, valid[f] & (dets[f, :, 4] >= thr), :4]
+            gb = vboxes[f, vvis[f]]
+            used = np.zeros(len(gb), bool)
+            for b in pb:
+                ious = [_iou(b, g) for g in gb]
+                j = int(np.argmax(ious)) if len(gb) else -1
+                if j >= 0 and ious[j] >= 0.5 and not used[j]:
+                    used[j] = True
+                    tp += 1
+                else:
+                    fp += 1
+            fn += int((~used).sum())
+        return 2 * tp / max(2 * tp + fp + fn, 1)
+
+    thrs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+    f1s = [det_f1(t) for t in thrs]
+    best_thr = thrs[int(np.argmax(f1s))]
     print(json.dumps({"phase": "map", "map@50": round(m_ap["map"], 4),
-                      "frames": len(vframes)}), flush=True)
+                      "frames": len(vframes),
+                      "val_f1_by_thr": {str(t): round(v, 3)
+                                        for t, v in zip(thrs, f1s)},
+                      "chosen_score_thr": best_thr}), flush=True)
 
     # --- phase 3: e2e detect→track scored MOTA ------------------------
     e2e = _scenes((200,), 40)[0]
     eframes, eboxes, evis = e2e
     max_dets = 32
+    # Noisy-detector operating point: emit only recently-matched tracks
+    # (SORT's time_since_update gate).  The default output_max_tsu=1e6 is
+    # right for the precomputed-dets config (coasting through dropouts is
+    # correct there) but amplifies every detector FP into up-to-max_age
+    # frames of emitted phantom boxes — the first run measured MOTA -0.24
+    # at det-F1 0.64 purely from that amplification.
     cfg = TrackerConfig(max_tracks=32, max_detections=max_dets,
-                        frame_height=H, frame_width=W)
+                        frame_height=H, frame_width=W,
+                        output_max_tsu=1)
     dets_e, valid_e, _ = detect_batch(
-        params, jnp.asarray(eframes), spec, (H, W), max_dets, 0.45, 0.3)
+        params, jnp.asarray(eframes), spec, (H, W), max_dets, 0.45,
+        best_thr)
     bank0 = bank_mod.empty_bank(cfg)
     _, outs = scan.run_sequence(bank0, jnp.asarray(eframes), dets_e,
                                 valid_e, cfg)
