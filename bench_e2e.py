@@ -179,6 +179,22 @@ def main() -> None:
 
     e2e_strided_ms = _marginal_ms(e2e_strided_chain, n_frames)
 
+    # ---- stage 6: strided + batched detector (chunked serving) ---------
+    # Same semantics as stage 5 but ALL the chunk's detector frames run
+    # as one batched CNN forward (run_sequence_strided_batched): B=1
+    # forwards inside the scan pay ~2.3× the amortized per-frame cost of
+    # the batched forward, so this is the offline/chunked serving shape.
+    def e2e_strided_batched_chain(n):
+        bank = bank0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            bank, outs = scan_mod.run_sequence_strided_batched(
+                bank, fj, det.params, cfg, spec, stride, score_thr=0.3)
+        float(np.asarray(outs.n_alive).sum())       # forced fetch
+        return time.perf_counter() - t0
+
+    e2e_sb_ms = _marginal_ms(e2e_strided_batched_chain, n_frames)
+
     print(json.dumps({
         "metric": "720p detect+track full-pipeline frames/sec/chip",
         "value": round(e2e_fps, 1),
@@ -191,6 +207,8 @@ def main() -> None:
             "e2e_bf16_fastnms_fps": round(1e3 / e2e_fast_ms, 1),
             "e2e_strided3_ms_per_frame": round(e2e_strided_ms, 3),
             "e2e_strided3_fps": round(1e3 / e2e_strided_ms, 1),
+            "e2e_strided3_batched_ms_per_frame": round(e2e_sb_ms, 3),
+            "e2e_strided3_batched_fps": round(1e3 / e2e_sb_ms, 1),
             "detector_fps": round(1e3 / det_ms, 1),
             "tracker_fps": round(1e3 / trk_ms, 1),
             "model": spec.name,

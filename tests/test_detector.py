@@ -315,28 +315,77 @@ def test_strided_detector_equality():
     det = YoloDetector.random_init(spec, max_out=8, score_thr=0.2)
     cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=96,
                         frame_width=128, roi_impl="xla")
-    frames = jnp.asarray(np.random.default_rng(2).random(
-        (6, 96, 128)).astype(np.float32))
+    frames7 = jnp.asarray(np.random.default_rng(2).random(
+        (7, 96, 128)).astype(np.float32))
     stride = 3
+    # 6 frames: divisible -> grouped (cond-free) lowering; 7 frames:
+    # remainder -> per-frame lax.cond lowering.  Both must match the
+    # explicit-detections reference.
+    for n in (6, 7):
+        frames = frames7[:n]
+        _run_strided_case(scan, bank_mod, det, cfg, spec, frames, stride,
+                          n)
 
+
+def _run_strided_case(scan, bank_mod, det, cfg, spec, frames, stride, n):
     bank0 = bank_mod.empty_bank(cfg)
     _, out_strided = scan.run_sequence_strided_detector(
         bank0, frames, det.params, cfg, spec, stride, score_thr=0.2)
 
     dets, valid, _ = detect_batch(det.params, frames, spec, (96, 128), 8,
                                   0.45, 0.2)
-    mask = (np.arange(6) % stride) == 0
+    mask = (np.arange(n) % stride) == 0
     dets = np.asarray(dets) * mask[:, None, None]
     valid = np.asarray(valid) & mask[:, None]
     _, out_ref = scan.run_sequence(bank0, frames, jnp.asarray(dets),
                                    jnp.asarray(valid), cfg)
 
     np.testing.assert_array_equal(np.asarray(out_strided.ids),
-                                  np.asarray(out_ref.ids))
+                                  np.asarray(out_ref.ids), err_msg=str(n))
     # Boxes agree to float noise: the CNN compiles in a different fusion
     # context inside the scanned cond than standalone-batched (~3e-3 px
     # observed), so assert at pixel-noise level, ids/validity exactly.
     np.testing.assert_allclose(np.asarray(out_strided.boxes),
                                np.asarray(out_ref.boxes), atol=0.05)
     np.testing.assert_array_equal(np.asarray(out_strided.valid),
+                                  np.asarray(out_ref.valid))
+
+
+def test_strided_batched_equality():
+    """run_sequence_strided_batched (one batched CNN forward for all the
+    chunk's detector frames) == the explicit-detections reference.  The
+    forward is per-sample independent (inference BatchNorm), so the only
+    allowed divergence from the scanned strided form is float noise from
+    the different fusion context."""
+    from tpu_mot.config import TrackerConfig
+    from tpu_mot.tracker import bank as bank_mod
+    from tpu_mot.tracker import scan
+
+    spec = YoloSpec("yolov2-tiny", num_classes=1, input_size=64,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    det = YoloDetector.random_init(spec, max_out=8, score_thr=0.2)
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=96,
+                        frame_width=128, roi_impl="xla")
+    frames = jnp.asarray(np.random.default_rng(2).random(
+        (7, 96, 128)).astype(np.float32))
+    stride = 3
+    n = frames.shape[0]
+
+    bank0 = bank_mod.empty_bank(cfg)
+    _, out_b = scan.run_sequence_strided_batched(
+        bank0, frames, det.params, cfg, spec, stride, score_thr=0.2)
+
+    dets, valid, _ = detect_batch(det.params, frames, spec, (96, 128), 8,
+                                  0.45, 0.2)
+    mask = (np.arange(n) % stride) == 0
+    dets = np.asarray(dets) * mask[:, None, None]
+    valid = np.asarray(valid) & mask[:, None]
+    _, out_ref = scan.run_sequence(bank0, frames, jnp.asarray(dets),
+                                   jnp.asarray(valid), cfg)
+
+    np.testing.assert_array_equal(np.asarray(out_b.ids),
+                                  np.asarray(out_ref.ids))
+    np.testing.assert_allclose(np.asarray(out_b.boxes),
+                               np.asarray(out_ref.boxes), atol=0.05)
+    np.testing.assert_array_equal(np.asarray(out_b.valid),
                                   np.asarray(out_ref.valid))

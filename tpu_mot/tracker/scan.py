@@ -76,10 +76,19 @@ def run_sequence_strided_detector(bank, frames: jnp.ndarray, params,
     path), which is exactly why the reference pairs KCF with SORT-style
     association instead of running IoU-only.
 
-    The detector branch lives in a `lax.cond`, which lowers to an XLA
-    conditional: the CNN executes ONLY on stride frames (amortizing
-    detector cost by 1/stride), not select-both-branches — the scan body
-    carries no batch axis that would degrade the cond to a select.
+    Two lowerings, identical semantics (the detector runs on frames
+    where i % stride == 0):
+
+      * N divisible by stride (the common serving-chunk case): the scan
+        iterates GROUPS of `stride` frames — the detector runs
+        unconditionally on each group's first frame and the remaining
+        steps are unrolled with empty detections.  No runtime branch at
+        all (an earlier lax.cond formulation measured ~0.2 ms/frame of
+        conditional overhead at 720p — the static structure is the
+        XLA-idiomatic shape).
+      * otherwise: a lax.cond per frame (XLA conditional — the CNN
+        executes only on stride frames, not select-both-branches; the
+        scan body carries no batch axis that would degrade it).
 
     bank   : TrackBank carry.
     frames : [N, H, W] (or [N, H, W, 3]) stack.
@@ -89,12 +98,38 @@ def run_sequence_strided_detector(bank, frames: jnp.ndarray, params,
     Returns (final bank, StepOutput stacked over N).
     Equality contract: identical to run_sequence fed detections computed
     at the same stride frames and empty elsewhere
-    (tests/test_detector.py::test_strided_detector_equality).
+    (tests/test_detector.py::test_strided_detector_equality, both
+    lowerings).
     """
     from tpu_mot.models.detector import detect_batch
 
     d_cap = cfg.max_detections
     hw = (cfg.frame_height, cfg.frame_width)
+    n = frames.shape[0]
+
+    def empty_dets():
+        return (jnp.zeros((d_cap, 5), jnp.float32),
+                jnp.zeros((d_cap,), bool))
+
+    if stride > 1 and n % stride == 0:
+        groups = frames.reshape((n // stride, stride) + frames.shape[1:])
+
+        def gbody(b, gframes):
+            d, v, _ = detect_batch(params, gframes[0][None], spec, hw,
+                                   d_cap, iou_thr, score_thr,
+                                   nms_impl=nms_impl)
+            b, out0 = step_mod.step(b, gframes[0], d[0], v[0], cfg)
+            outs = [out0]
+            ed, ev = empty_dets()
+            for k in range(1, stride):
+                b, o = step_mod.step(b, gframes[k], ed, ev, cfg)
+                outs.append(o)
+            return b, jax.tree.map(lambda *x: jnp.stack(x), *outs)
+
+        bank, outs = jax.lax.scan(gbody, bank, groups)
+        outs = jax.tree.map(
+            lambda x: x.reshape((n,) + x.shape[2:]), outs)
+        return bank, outs
 
     def body(carry, frame):
         b, i = carry
@@ -104,16 +139,48 @@ def run_sequence_strided_detector(bank, frames: jnp.ndarray, params,
                                    iou_thr, score_thr, nms_impl=nms_impl)
             return d[0], v[0]
 
-        def without(_):
-            return (jnp.zeros((d_cap, 5), jnp.float32),
-                    jnp.zeros((d_cap,), bool))
-
-        d, v = jax.lax.cond(i % stride == 0, with_det, without, None)
+        d, v = jax.lax.cond(i % stride == 0, with_det,
+                            lambda _: empty_dets(), None)
         nb, out = step_mod.step(b, frame, d, v, cfg)
         return (nb, i + 1), out
 
     (bank, _), outs = jax.lax.scan(body, (bank, jnp.int32(0)), frames)
     return bank, outs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "stride",
+                                             "iou_thr", "score_thr",
+                                             "nms_impl"))
+def run_sequence_strided_batched(bank, frames: jnp.ndarray, params,
+                                 cfg: TrackerConfig, spec, stride: int,
+                                 iou_thr: float = 0.45,
+                                 score_thr: float = 0.3,
+                                 nms_impl: str = "greedy"):
+    """Chunked-serving variant of run_sequence_strided_detector: ALL the
+    chunk's detector frames (i % stride == 0) run as ONE batched CNN
+    forward, then the tracker scans the full chunk with those detections
+    scattered in.
+
+    Numerically identical to the streaming (scanned) form — BatchNorm
+    uses running stats at inference so the forward is per-sample
+    independent — but the detector runs at full batch efficiency: a
+    B=1-per-frame forward inside the scan costs ~2.3× the amortized
+    per-frame cost of the batched forward at 720p (measured r3,
+    docs/BENCHMARKS.md).  Use this for chunked/offline serving, the
+    scanned form for frame-by-frame streaming arrival.
+    """
+    from tpu_mot.models.detector import detect_batch
+
+    n = frames.shape[0]
+    d_cap = cfg.max_detections
+    det_frames = frames[::stride]
+    d, v, _ = detect_batch(params, det_frames, spec,
+                           (cfg.frame_height, cfg.frame_width), d_cap,
+                           iou_thr, score_thr, nms_impl=nms_impl)
+    idx = jnp.arange(0, n, stride)
+    dets = jnp.zeros((n, d_cap, 5), jnp.float32).at[idx].set(d)
+    valid = jnp.zeros((n, d_cap), bool).at[idx].set(v)
+    return run_sequence(bank, frames, dets, valid, cfg)
 
 
 def track_sequence(frames, detections, cfg: TrackerConfig | None = None,
