@@ -178,3 +178,54 @@ def test_graft_entry_dryrun_self_provisions():
         f"rc={proc.returncode}\nstdout:\n{proc.stdout}\n"
         f"stderr:\n{proc.stderr}")
     assert "driver-style dryrun: ok" in proc.stdout
+
+
+def test_multistream_strided_equality(ndev):
+    """multi_stream_sequence_strided (grouped cond-free lowering, DP and
+    shared-detector modes) must equal multi_stream_sequence fed the same
+    detections computed explicitly at stride frames and empty elsewhere."""
+    from tpu_mot.models.detector import YoloDetector, detect_batch
+
+    spec = YoloSpec("yolov2-tiny", num_classes=1, input_size=64,
+                    anchors=YOLOV2_TINY_ANCHORS)
+    det = YoloDetector.random_init(spec, max_out=8, score_thr=0.2)
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=96,
+                        frame_width=128, roi_impl="xla")
+    m = mesh_mod.stream_mesh(ndev)
+    n, stride = 6, 3
+    frames = jnp.asarray(np.random.default_rng(5).random(
+        (n, ndev, 96, 128)).astype(np.float32))     # time-major [T, S]
+
+    def detect_fn(params, fr):
+        return detect_batch(params, fr, spec, (96, 128), 8, 0.45, 0.2)
+
+    # Explicit-detections reference: detect every frame flattened, zero
+    # the non-stride frames, feed stream-major to multi_stream_sequence.
+    d, v, _ = detect_batch(det.params, frames.reshape(-1, 96, 128), spec,
+                           (96, 128), 8, 0.45, 0.2)
+    d = np.asarray(d).reshape(n, ndev, 8, 5)
+    v = np.asarray(v).reshape(n, ndev, 8)
+    mask = (np.arange(n) % stride) == 0
+    d = d * mask[:, None, None, None]
+    v = v & mask[:, None, None]
+    banks0 = serve.make_stream_banks(ndev, cfg, m)
+    _, out_ref = serve.multi_stream_sequence(
+        banks0, jnp.swapaxes(frames, 0, 1),
+        jnp.asarray(np.swapaxes(d, 0, 1)),
+        jnp.asarray(np.swapaxes(v, 0, 1)), cfg)
+
+    for mesh in (None, m):
+        _, out = serve.multi_stream_sequence_strided(
+            det.params, banks0, frames, cfg, detect_fn, stride, mesh=mesh)
+        tag = "shared" if mesh is not None else "dp"
+        np.testing.assert_array_equal(np.asarray(out.ids),
+                                      np.asarray(out_ref.ids), err_msg=tag)
+        np.testing.assert_array_equal(np.asarray(out.valid),
+                                      np.asarray(out_ref.valid),
+                                      err_msg=tag)
+        # CNN fusion context differs inside the scan vs standalone —
+        # pixel-noise tolerance, ids/validity exact (same contract as
+        # tests/test_detector.py::test_strided_detector_equality).
+        np.testing.assert_allclose(np.asarray(out.boxes),
+                                   np.asarray(out_ref.boxes), atol=0.05,
+                                   err_msg=tag)

@@ -119,6 +119,71 @@ def main() -> None:
             "aggregate_fps_per_chip": round(n_streams * 1e3 / ms, 1),
         }), flush=True)
 
+    # --- fast-detector combo + strided serving (r3b) -------------------
+    # The stage split shows the detector owns 7.5 of the 9.2 ms step;
+    # these are the production levers: bf16 convs + Fast NMS, and the
+    # strided-detector chunk (serve.multi_stream_sequence_strided,
+    # detector on every 4th multistream frame).
+    spec_fast = YoloSpec("yolov3-tiny", num_classes=80, dtype="bfloat16")
+    det_fast = YoloDetector.random_init(spec_fast, max_out=max_dets,
+                                        score_thr=0.3)
+
+    def detect_fn_fast(params, fr):
+        return detect_batch(params, fr, spec_fast, (height, width),
+                            max_dets, 0.45, 0.3, nms_impl="fast")
+
+    @jax.jit
+    def run_seq_fast(banks, fseq):
+        def body(b, f):
+            b, out = serve.detect_then_track_step_shared(
+                det_fast.params, b, f, cfg, mesh, detect_fn_fast)
+            return b, out.n_alive
+        return jax.lax.scan(body, banks, fseq)
+
+    banks, alive = run_seq_fast(banks0, fj)
+    jax.block_until_ready(alive)
+
+    def fast_chain(n):
+        b = banks
+        t0 = time.perf_counter()
+        for _ in range(n):
+            b, a = run_seq_fast(b, fj)
+        float(np.asarray(a).sum())
+        return time.perf_counter() - t0
+
+    fast_ms = _marginal_ms(fast_chain, n_frames)
+    print(json.dumps({
+        "config": "configs4-1chip", "mode": "shared-bf16-fastnms",
+        "streams": n_streams,
+        "ms_per_multistream_step": round(fast_ms, 3),
+        "aggregate_fps_per_chip": round(n_streams * 1e3 / fast_ms, 1),
+    }), flush=True)
+
+    stride = 4
+    banks, outs = serve.multi_stream_sequence_strided(
+        det_fast.params, banks0, fj, cfg, detect_fn_fast, stride,
+        mesh=mesh)
+    jax.block_until_ready(outs.n_alive)
+
+    def strided_chain(n):
+        b = banks
+        t0 = time.perf_counter()
+        for _ in range(n):
+            b, o = serve.multi_stream_sequence_strided(
+                det_fast.params, b, fj, cfg, detect_fn_fast, stride,
+                mesh=mesh)
+        float(np.asarray(o.n_alive).sum())
+        return time.perf_counter() - t0
+
+    strided_ms = _marginal_ms(strided_chain, n_frames)
+    print(json.dumps({
+        "config": "configs4-1chip",
+        "mode": f"shared-bf16-fastnms-strided{stride}",
+        "streams": n_streams,
+        "ms_per_multistream_step": round(strided_ms, 3),
+        "aggregate_fps_per_chip": round(n_streams * 1e3 / strided_ms, 1),
+    }), flush=True)
+
     # --- per-stage attribution: detector-only and tracker-only ---------
     @jax.jit
     def det_only_seq(fseq, seed_dets):

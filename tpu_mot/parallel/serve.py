@@ -63,6 +63,65 @@ def multi_stream_sequence(banks, frames, dets, det_valid,
     return jax.vmap(per_stream)(banks, frames, dets, det_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "stride",
+                                             "detect_fn", "mesh"))
+def multi_stream_sequence_strided(detector_params, banks, frames,
+                                  cfg: TrackerConfig, detect_fn,
+                                  stride: int, mesh: Mesh | None = None):
+    """Strided-detector serving over a chunk of multistream frames.
+
+    frames [T, S, H, W] (time-major); the detector runs only on frames
+    with t % stride == 0 — the serving-chunk analogue of
+    tracker.scan.run_sequence_strided_detector, at the multistream level.
+    T must be divisible by stride (serving chunks are sized by the
+    caller), which permits the cond-free grouped lowering: the scan
+    iterates groups of `stride` frames, the detector runs
+    unconditionally on each group head, and the remaining steps are
+    unrolled with empty detections — no runtime branch.
+
+    mesh is None  → per-shard-DP detector (zero collectives);
+    mesh given    → shared-detector all-gather batch (configs[4] mode).
+
+    Returns (banks, StepOutput stacked [S, T, ...]) — same axis order as
+    multi_stream_sequence, against which the equality contract is tested
+    (tests/test_parallel.py::test_multistream_strided_equality).
+    """
+    n = frames.shape[0]
+    if stride < 1 or n % stride:
+        raise ValueError(
+            f"chunk length {n} must be a positive multiple of "
+            f"stride {stride}")
+    s_streams = frames.shape[1]
+    d_cap = cfg.max_detections
+
+    def head_dets(gframes0):
+        if mesh is None:
+            d, v, _ = detect_fn(detector_params, gframes0)
+            return d, v
+        return shared_detector_detect(detector_params, gframes0, mesh,
+                                      detect_fn)
+
+    groups = frames.reshape((n // stride, stride) + frames.shape[1:])
+    empty_d = jnp.zeros((s_streams, d_cap, 5), jnp.float32)
+    empty_v = jnp.zeros((s_streams, d_cap), bool)
+
+    def gbody(b, gframes):
+        d, v = head_dets(gframes[0])
+        b, out0 = multi_stream_step(b, gframes[0], d, v, cfg)
+        outs = [out0]
+        for k in range(1, stride):
+            b, o = multi_stream_step(b, gframes[k], empty_d, empty_v,
+                                     cfg)
+            outs.append(o)
+        return b, jax.tree.map(lambda *x: jnp.stack(x), *outs)
+
+    banks, outs = jax.lax.scan(gbody, banks, groups)
+    # [T//stride, stride, S, ...] → time-major [T, S, ...] → [S, T, ...]
+    outs = jax.tree.map(
+        lambda x: jnp.swapaxes(x.reshape((n,) + x.shape[2:]), 0, 1), outs)
+    return banks, outs
+
+
 def detect_then_track_step(detector_params, banks, frames, cfg,
                            detect_fn):
     """The fused detect→track serving step, per-shard-DP detector mode.
