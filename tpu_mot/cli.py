@@ -54,6 +54,12 @@ def _add_common(p):
                    default=None)
     p.add_argument("--kcf-impl", choices=("auto", "pallas", "xla"),
                    default=None)
+    p.add_argument("--train-site", choices=("refined", "detect"),
+                   default=None,
+                   help="KCF retrain sample site: re-extract at corrected "
+                        "boxes (refined, the C lineage's shape) or reuse "
+                        "the phase-aligned detect-site spectra (detect, "
+                        "no second ROI extraction; see config.py)")
 
 
 def _make_cfg(args, h, w):
@@ -72,7 +78,8 @@ def _make_cfg(args, h, w):
             kcf_kw[field] = val
     trk_kw = {}
     for arg in ("appearance_weight", "confidence_mode", "min_psr",
-                "n_init", "max_age", "roi_impl", "kcf_impl"):
+                "n_init", "max_age", "roi_impl", "kcf_impl",
+                "train_site"):
         val = getattr(args, arg, None)
         if val is not None:
             trk_kw[arg] = val

@@ -170,7 +170,34 @@ class TrackerConfig:
     # including coasting tracks, the KCF-pipeline default).
     output_max_tsu: int = 10 ** 6
 
+    # KCF retrain sample site:
+    #   "refined" — re-extract patches at the corrected boxes (the C
+    #               lineage's behavior: a second ROI extraction + feature
+    #               pass per frame);
+    #   "detect"  — reuse the DETECT-site patch spectra, phase-aligned to
+    #               the corrected centers in the Fourier domain
+    #               (ops/kcf.shift_spectrum): no second extraction at
+    #               all.  A spatial approximation within the same frame
+    #               (circular edge wrap + window off-center by the
+    #               sub-pixel displacement, both attenuated by the Hann
+    #               window), NOT a temporal one.  Births initialize one
+    #               frame late (lr=1 full overwrite on their first
+    #               post-birth frame) and KCF refinement is gated off for
+    #               that one frame.  Trains through the XLA einsum chain
+    #               regardless of kcf_impl (the fused Pallas trainer
+    #               takes raw patches, which this mode never builds).
+    # Default "detect", validated 2026-08-17 (tools/bench_train_site.py,
+    # tools/bench_train_site_r3.log): 1080p@128 default-gray 4009->5060
+    # fps with BIT-IDENTICAL MOTA/IDF1/IDSW (0.9688/0.9841/0); heavy
+    # fHOG+3-scale 2166->2629 fps and BETTER accuracy on the fixture
+    # (MOTA 0.9688 vs 0.9531, 0 vs 2 IDSW); detector-outage coasting and
+    # mass-birth parity pinned by tests/test_train_site.py.  "refined"
+    # remains the reference-faithful comparison mode.
+    train_site: str = "detect"
+
     def __post_init__(self):
+        if self.train_site not in ("refined", "detect"):
+            raise ValueError(f"unknown train_site {self.train_site!r}")
         if self.confidence_mode not in ("peak", "psr"):
             raise ValueError(
                 f"unknown confidence_mode {self.confidence_mode!r}")

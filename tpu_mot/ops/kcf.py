@@ -83,9 +83,47 @@ def train(feat: jnp.ndarray, yf: CF, sigma: float, lambda_: float,
     """
     s = feat.shape[-1]
     xf = fft_ops.rfft2(feat, backend)
-    kf = gaussian_correlation(xf, xf, sigma, s, backend)
+    return train_from_spectrum(xf, yf, sigma, lambda_, s, backend)
+
+
+def train_from_spectrum(xf: CF, yf: CF, sigma: float, lambda_: float,
+                        width: int, backend: str | None = None
+                        ) -> KCFModel:
+    """train() when the feature spectrum is already in hand — the
+    detect-site training path (tracker.step train_site="detect") feeds
+    the phase-aligned detection spectra here instead of re-extracting
+    patches at the corrected boxes.
+
+    Note: the self-correlation k^xx depends only on |X| (phases cancel in
+    X·conj(X)), so alphaf is invariant under shift_spectrum alignment —
+    only the template xf carries the phase (asserted in
+    tests/test_train_site.py)."""
+    kf = gaussian_correlation(xf, xf, sigma, width, backend)
     alphaf = cfloat.div_real_shifted(yf, kf, lambda_)
     return KCFModel(xf=xf, alphaf=alphaf)
+
+
+def shift_spectrum(zf: CF, dy: jnp.ndarray, dx: jnp.ndarray,
+                   width: int) -> CF:
+    """Circularly translate patches by (+dy, +dx) pixels in the Fourier
+    domain: the spectrum of f(n + d) is f̂(k)·e^{+2πi k·d/N} — sub-pixel
+    shifts are exact in the band-limited (sinc-interpolation) sense.
+
+    zf : [T, C, S, Sf] half spectra, dy/dx : [T] float row/col shifts.
+    Row frequencies must be SIGNED for fractional shifts (e^{2πi k d/N}
+    ≠ e^{2πi (k−N) d/N} unless d is integral); the rfft column axis is
+    already non-negative so its indices are used directly.
+    """
+    s = zf.re.shape[-2]
+    sf = zf.re.shape[-1]
+    ky = (jnp.arange(s) + s // 2) % s - s // 2            # signed rows
+    kx = jnp.arange(sf)                                   # rfft cols
+    theta = (2.0 * jnp.pi) * (
+        ky[None, :, None] * (dy[:, None, None] / s)
+        + kx[None, None, :] * (dx[:, None, None] / width))  # [T, S, Sf]
+    c = jnp.cos(theta)[:, None]                           # broadcast C
+    sn = jnp.sin(theta)[:, None]
+    return CF(zf.re * c - zf.im * sn, zf.re * sn + zf.im * c)
 
 
 def blend(model: KCFModel, new: KCFModel, lr) -> KCFModel:

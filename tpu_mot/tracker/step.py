@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from tpu_mot.config import TrackerConfig
 from tpu_mot.ops import features as feat_ops
+from tpu_mot.ops import fft as fft_ops
 from tpu_mot.ops import iou as iou_ops
 from tpu_mot.ops import kalman
 from tpu_mot.ops import kcf as kcf_ops
@@ -151,6 +152,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     if cfg.use_kcf:
         if cfg.kcf.scale_step == 1.0:
             feats = _features_at(gray, pred_boxes, cfg, levels)
+            feats_unit = feats
             response = kcf_ops.detect_auto(bank.kcf, feats,
                                            cfg.kcf.kernel_sigma,
                                            cfg.kcf_impl,
@@ -192,6 +194,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
                 f3 = _features_at(gray, boxes3, cfg, levels,
                                   scales=scales3)
             f3 = f3.reshape((3, t_cap) + f3.shape[1:])           # [3,T,C,S,S]
+            feats_unit = f3[1]
             r3 = kcf_ops.detect_scales_auto(
                 bank.kcf, f3, cfg.kcf.kernel_sigma, cfg.kcf_impl,
                 cfg.kcf_precision, cfg.kcf_block)                # [3,T,S,S]
@@ -224,6 +227,14 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         in_frame = ((pred_boxes[:, 0] > 0) & (pred_boxes[:, 0] < w_f)
                     & (pred_boxes[:, 1] > 0) & (pred_boxes[:, 1] < h_f))
         kcf_ok = alive & in_frame & (peak >= cfg.confidence_threshold)
+        if cfg.train_site == "detect":
+            # Detect-site training initializes a birth's model one frame
+            # LATE (see step 8): a slot born last frame (age == 1 before
+            # this step's increment) holds either zeros or a recycled
+            # track's stale spectra — its response is meaningless, so
+            # KCF refinement is gated off for that one frame (the track
+            # coasts on its Kalman prediction, plain-SORT behavior).
+            kcf_ok = kcf_ok & (bank.age != 1)
         kcf_wh = pred_boxes[:, 2:4] * best_scale[:, None]
         refined = jnp.where(kcf_ok[:, None],
                             jnp.concatenate([kcf_cxy, kcf_wh], axis=1),
@@ -239,6 +250,13 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         appearance = _sample_response(
             response, pred_boxes[:, :2], pred_boxes[:, 2:4] * cfg.kcf.padding,
             det_boxes[:, :2], s)
+        if cfg.train_site == "detect":
+            # Day-one slots have no model yet (see kcf_ok gate above):
+            # zero their rows rather than let stale-spectra responses
+            # attract matches.  A uniform per-row shift does not change
+            # which detection the row prefers, only its cross-row
+            # competitiveness — conservative for a fresh track.
+            appearance = appearance * (bank.age != 1)[:, None]
     else:
         appearance = None
     cost = iou_ops.association_cost(
@@ -318,7 +336,47 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     next_id = bank.next_id + n_births
 
     # ---- 8. Bank-wide KCF retrain ------------------------------------
-    if cfg.use_kcf:
+    if cfg.use_kcf and cfg.train_site == "detect":
+        # Detect-site training (config.train_site docstring): reuse the
+        # step-2 patch spectra, phase-aligned to the corrected centers
+        # via the Fourier shift theorem, instead of a second ROI
+        # extraction + feature pass at the corrected boxes.  The aligned
+        # sample equals the refined-site crop up to circular edge wrap
+        # and a window off-center by the (sub-pixel) displacement — a
+        # same-frame spatial approximation the Hann window attenuates.
+        # rfft2(feats_unit) below is the same op on the same operand as
+        # inside step 2's detect chain, so XLA CSEs it; the net per-frame
+        # saving is the entire second extract+feature pass.
+        yf = kcf_ops.make_yf(s, cfg.kcf.padding,
+                             cfg.kcf.output_sigma_factor)
+        zf = fft_ops.rfft2(feats_unit)
+        win = jnp.maximum(pred_boxes[:, 2:4] * cfg.kcf.padding, 1e-6)
+        # Feature-pixel displacement of the corrected center from the
+        # extraction (predicted) center: (dx, dy) = delta_px * S / win.
+        delta = (kf_mean[:, :2] - pred_boxes[:, :2]) * s / win    # [T, 2]
+        d_x, d_y = delta[:, 0], delta[:, 1]
+        # Beyond ~S/4 the circular wrap stops being a border effect;
+        # skip the EMA update for such jumps (the init overwrite below
+        # instead clamps to an unshifted train — it must write SOMETHING
+        # usable or the slot would keep stale spectra).
+        guard = (jnp.abs(d_x) < s / 4) & (jnp.abs(d_y) < s / 4)
+        d_x = jnp.where(guard, d_x, 0.0)
+        d_y = jnp.where(guard, d_y, 0.0)
+        zf_a = kcf_ops.shift_spectrum(zf, d_y, d_x, s)
+        # First post-birth frame (born last step: age incremented to 2
+        # this step) → lr = 1 full model overwrite; births this frame
+        # have no usable sample yet (their box was never extracted) and
+        # keep lr = 0 until next step.
+        init_now = (state > EMPTY) & (age == 2) & ~is_birth
+        lr = jnp.where(
+            init_now, 1.0,
+            jnp.where((state > EMPTY) & ~is_birth & guard
+                      & (is_matched | kcf_ok),
+                      cfg.kcf.interp_factor, 0.0))
+        new_model = kcf_ops.train_from_spectrum(
+            zf_a, yf, cfg.kcf.kernel_sigma, cfg.kcf.lambda_, s)
+        kcf_model = kcf_ops.blend(bank.kcf, new_model, lr)
+    elif cfg.use_kcf:
         # kf_mean was already overwritten with init_mean (= birth box +
         # zero velocity) at birth slots, so its box block IS the retrain
         # site for births and corrected boxes for survivors.
