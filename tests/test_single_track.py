@@ -78,3 +78,34 @@ def test_scan_otb_matches_per_frame_wrapper():
         bank, jnp.asarray(frames[1:]), cfg)
     np.testing.assert_allclose(np.asarray(got_boxes[:, 0]),
                                np.asarray(want), rtol=1e-4, atol=1e-3)
+
+
+def test_otb_detect_site_precision_parity():
+    """Detect-site retraining (train_site="detect") on the single-object
+    OTB flow: center error must stay within a fraction of a pixel of the
+    refined-site default on a moving target (the same-frame spatial
+    approximation must not cost tracking precision)."""
+    import jax.numpy as jnp
+    from tpu_mot.ops import patch as patch_ops
+    from tpu_mot.tracker import kcf_bank
+
+    objs = [synthetic.SyntheticObject(cx=100, cy=90, w=30, h=26,
+                                      vx=3.0, vy=-2.0)]
+    n = 30
+    frames, boxes, _ = synthetic.render_sequence(objs, n, 240, 320,
+                                                 seed=11, noise=0.01)
+    cfg = KCFConfig()
+    gray0 = patch_ops.to_gray(jnp.asarray(frames[0]))
+    bank0 = kcf_bank.init_bank(gray0, jnp.asarray(boxes[0, :1]),
+                               jnp.ones((1,), bool), cfg)
+
+    errs = {}
+    for site in ("refined", "detect"):
+        _, got, _ = kcf_bank.run_otb_sequence(
+            bank0, jnp.asarray(frames[1:]), cfg, train_site=site)
+        got = np.asarray(got[:, 0])                     # [N-1, 4]
+        gt = boxes[1:, 0]
+        err = np.hypot(got[:, 0] - gt[:, 0], got[:, 1] - gt[:, 1])
+        errs[site] = err
+        assert err.max() < 2.5, (site, err.max())
+    assert errs["detect"].mean() <= errs["refined"].mean() + 0.3, errs

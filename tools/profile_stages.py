@@ -163,8 +163,12 @@ def main() -> None:
     total = sum(stages.values())
     print(json.dumps({"stage": "SUM(parts, standalone)",
                       "ms": round(total, 4),
-                      "note": "2x roi+features in the real step; compare "
-                              "0.264 ms/frame full default"}), flush=True)
+                      "note": "roi+features runs ONCE per frame under the "
+                              "r3b train_site='detect' default (twice "
+                              "under 'refined'); kcf_train here measures "
+                              "the train math only — compare the "
+                              "full-default ms/frame from bench.py"}),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from tpu_mot.config import KCFConfig
 from tpu_mot.ops import features as feat_ops
+from tpu_mot.ops import fft as fft_ops
 from tpu_mot.ops import kcf as kcf_ops
 from tpu_mot.ops import patch as patch_ops
 
@@ -53,19 +54,23 @@ def init_bank(frame_gray: jnp.ndarray, boxes: jnp.ndarray,
     return KCFBank(model=model, boxes=boxes, alive=alive)
 
 
-def detect_bank(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig
-                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+def detect_bank(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig,
+                with_aux: bool = False):
     """Correlation response of every live track at its current box.
 
-    Returns (new_boxes [T, 4], peak [T]).  With cfg.scale_step > 1 a
-    3-level scale pyramid is searched (batched as 3 stacked banks); the
-    best scale re-sizes the box, mirroring the C lineage's scale branch.
+    Returns (new_boxes [T, 4], peak [T]); with_aux=True appends
+    (feats_unit, dy, dx) — the unit-scale features and the chosen
+    sub-pixel displacement — for detect-site retraining (step()'s
+    train_site="detect").  With cfg.scale_step > 1 a 3-level scale
+    pyramid is searched (batched as 3 stacked banks); the best scale
+    re-sizes the box, mirroring the C lineage's scale branch.
     """
     s = cfg.feature_size
     t_cap = bank.boxes.shape[0]
 
     if cfg.scale_step == 1.0:
         feats = _features_at(frame_gray, bank.boxes, cfg)
+        feats_unit = feats
         resp = kcf_ops.detect(bank.model, feats, cfg.kernel_sigma)
         dy, dx, peak = kcf_ops.peak_displacement(resp)
         best_scale = jnp.ones_like(peak)
@@ -79,6 +84,7 @@ def detect_bank(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig
         scales3 = jnp.repeat(scale_vals, t_cap)        # [3T]
         f3 = _features_at(frame_gray, boxes3, cfg, scales3)
         f3 = f3.reshape((3, t_cap) + f3.shape[1:])     # [3, T, C, S, S]
+        feats_unit = f3[1]
         r3 = kcf_ops.detect(bank.model, f3, cfg.kernel_sigma)
         dys, dxs, peaks = kcf_ops.peak_displacement(
             r3.reshape(3 * t_cap, s, s))
@@ -101,6 +107,8 @@ def detect_bank(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig
     cy = cy + dy * h * cfg.padding / s
     new_boxes = jnp.stack([cx, cy, w, h], axis=1)
     new_boxes = jnp.where(bank.alive[:, None], new_boxes, bank.boxes)
+    if with_aux:
+        return new_boxes, peak, (feats_unit, dy, dx)
     return new_boxes, peak
 
 
@@ -115,19 +123,42 @@ def train_bank(bank: KCFBank, frame_gray: jnp.ndarray, boxes: jnp.ndarray,
     return KCFBank(model=model, boxes=boxes, alive=bank.alive)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def step(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig
-         ) -> tuple[KCFBank, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("cfg", "train_site"))
+def step(bank: KCFBank, frame_gray: jnp.ndarray, cfg: KCFConfig,
+         train_site: str = "refined") -> tuple[KCFBank, jnp.ndarray]:
     """One correlation-tracking frame for the whole bank:
-    detect → move boxes → retrain (lr = interp_factor on live slots)."""
+    detect → move boxes → retrain (lr = interp_factor on live slots).
+
+    train_site: "refined" (default — re-extract at the moved boxes, the
+    C lineage's shape) or "detect" — retrain on the detect-site spectra
+    phase-aligned by the measured sub-pixel displacement
+    (ops/kcf.shift_spectrum; same design as tracker/step.py's MOT-level
+    train_site="detect", where the A/B methodology and accuracy evidence
+    live).  The single-object default stays "refined" because this bank
+    is the OTB reference-parity harness (BASELINE configs[1])."""
+    if train_site == "detect":
+        new_boxes, peak, (feats_unit, dy, dx) = detect_bank(
+            bank, frame_gray, cfg, with_aux=True)
+        s = cfg.feature_size
+        guard = (jnp.abs(dy) < s / 4) & (jnp.abs(dx) < s / 4)
+        lr = jnp.where(bank.alive & guard, cfg.interp_factor, 0.0)
+        zf = fft_ops.rfft2(feats_unit)
+        zf_a = kcf_ops.shift_spectrum(zf, dy, dx, s)
+        yf = kcf_ops.make_yf(s, cfg.padding, cfg.output_sigma_factor)
+        new = kcf_ops.train_from_spectrum(zf_a, yf, cfg.kernel_sigma,
+                                          cfg.lambda_, s)
+        model = kcf_ops.blend(bank.model, new, lr)
+        return KCFBank(model=model, boxes=new_boxes,
+                       alive=bank.alive), peak
     new_boxes, peak = detect_bank(bank, frame_gray, cfg)
     lr = jnp.where(bank.alive, cfg.interp_factor, 0.0)
     new_bank = train_bank(bank, frame_gray, new_boxes, lr, cfg)
     return new_bank, peak
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def run_otb_sequence(bank: KCFBank, frames: jnp.ndarray, cfg: KCFConfig
+@functools.partial(jax.jit, static_argnames=("cfg", "train_site"))
+def run_otb_sequence(bank: KCFBank, frames: jnp.ndarray, cfg: KCFConfig,
+                     train_site: str = "refined"
                      ) -> tuple[KCFBank, jnp.ndarray, jnp.ndarray]:
     """Track a whole clip in ONE device program (lax.scan over frames) —
     the throughput shape of the single-object OTB flow (SURVEY.md §3.3):
@@ -138,7 +169,7 @@ def run_otb_sequence(bank: KCFBank, frames: jnp.ndarray, cfg: KCFConfig
     boxes [N, T, 4], peaks [N, T]).
     """
     def body(b, frame):
-        b2, peak = step(b, patch_ops.to_gray(frame), cfg)
+        b2, peak = step(b, patch_ops.to_gray(frame), cfg, train_site)
         return b2, (b2.boxes, peak)
 
     bank, (boxes, peaks) = jax.lax.scan(body, bank, frames)
