@@ -167,3 +167,99 @@ def test_mot_shaped_case():
     # The 8 jittered copies must match back to their source tracks.
     for t in range(8):
         assert got[t] == t, got
+
+
+def test_warm_start_sequence_optimal_and_bounded():
+    """Dynamic-auction warm start across a drifting MOT-shaped sequence
+    (a CLOSED exploration — measured a loss on the bench fixture and
+    defaulted off, see config.auction_warm_start): every frame's solution
+    must keep scipy-level cost regardless of the carried state (the
+    n*eps bound is initial-state-independent), must always converge (the
+    budgeted fallback exists precisely to prevent the >2000-round
+    stale-price churn), and the total round count must stay within the
+    warm_budget overhead of cold."""
+    rng = np.random.default_rng(11)
+    t_cap, d_cap = 64, 80
+    tracks = rng.uniform(50, 1800, (t_cap, 4)).astype(np.float32)
+    tracks[:, 1] = rng.uniform(50, 1000, t_cap)
+    tracks[:, 2:] = rng.uniform(24, 64, (t_cap, 2))
+    vel = rng.normal(0, 2.5, (t_cap, 2)).astype(np.float32)
+
+    n_sq = max(t_cap, d_cap)
+    prices = jnp.zeros((n_sq,), jnp.float32)
+    col_of = jnp.full((n_sq,), -1, jnp.int32)
+    warm_iters, cold_iters = [], []
+    for frame in range(16):
+        tracks[:, :2] += vel                      # coherent drift
+        dets = tracks[:56].copy()
+        dets[:, :2] += rng.normal(0, 3, (56, 2))
+        if frame in (6, 11):
+            # Adversarial: the detector emits the same objects in a new
+            # order — every carried (row, column) pair is invalidated at
+            # once.  The dynamic auction must re-solve without the
+            # stale-price churn pathology.
+            dets = dets[rng.permutation(56)]
+        extra = rng.uniform(50, 1800, (12, 4)).astype(np.float32)
+        extra[:, 1] = rng.uniform(50, 1000, 12)
+        extra[:, 2:] = rng.uniform(24, 64, (12, 2))
+        dets = np.concatenate(
+            [dets, extra, np.zeros((12, 4))]).astype(np.float32)
+        dvalid = np.ones((d_cap,), bool)
+        dvalid[68:] = False
+        cost = np.asarray(iou.association_cost(
+            jnp.asarray(tracks), jnp.asarray(dets),
+            jnp.ones((t_cap,), bool), jnp.asarray(dvalid),
+            iou_gate=0.1, infeasible=1e4)).astype(np.float32)
+        feasible = cost < 1e3
+
+        got_w, it_w, conv_w, prices, col_of = (
+            assignment.auction_assign_warm(
+                jnp.asarray(cost), jnp.asarray(feasible), prices, col_of))
+        _, it_c, conv_c = assignment.auction_assign_stats(
+            jnp.asarray(cost), jnp.asarray(feasible))
+        assert bool(conv_w) and bool(conv_c)
+        warm_iters.append(int(it_w))
+        cold_iters.append(int(it_c))
+
+        got_w = np.asarray(got_w)
+        matched = got_w[got_w >= 0]
+        assert len(set(matched.tolist())) == len(matched)
+        want = assignment.scipy_assign(cost, feasible)
+        assert (got_w >= 0).sum() == (want >= 0).sum()
+        gap = (assignment.assignment_cost(cost, got_w)
+               - assignment.assignment_cost(cost, want))
+        assert gap <= 0.1, (frame, gap)
+
+    # The fallback bound: every frame must finish within warm_budget (6,
+    # +2 unroll overrun) of its cold cost — the stale-price churn
+    # pathology (>2000 rounds) must never reappear.
+    for f in range(16):
+        assert warm_iters[f] <= cold_iters[f] + 8, (
+            f, warm_iters, cold_iters)
+
+
+def test_warm_start_bank_carry_in_step():
+    """The tracker step must thread auction prices through the bank when
+    cfg.auction_warm_start is on: after a step with detections, the
+    carried vector is non-zero and sized max(T, D)."""
+    from tpu_mot.config import TrackerConfig
+    from tpu_mot.tracker.api import MultiTracker
+
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=64,
+                        frame_width=64, roi_impl="xla", use_kcf=False,
+                        auction_warm_start=True)
+    mt = MultiTracker(cfg)
+    frame = np.zeros((64, 64), np.float32)
+    mt.init(frame, np.asarray([[32, 32, 10, 10, 1.0]], np.float32))
+    mt.update(frame, np.asarray([[33, 32, 10, 10, 1.0]], np.float32))
+    p = np.asarray(mt.bank.auction_prices)
+    assert p.shape == (8,)
+    assert (p > 0).any(), "prices were not carried through the bank"
+
+    cold = TrackerConfig(max_tracks=8, max_detections=8, frame_height=64,
+                         frame_width=64, roi_impl="xla", use_kcf=False,
+                         auction_warm_start=False)
+    mc = MultiTracker(cold)
+    mc.init(frame, np.asarray([[32, 32, 10, 10, 1.0]], np.float32))
+    mc.update(frame, np.asarray([[33, 32, 10, 10, 1.0]], np.float32))
+    assert not np.asarray(mc.bank.auction_prices).any()

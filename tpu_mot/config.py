@@ -120,6 +120,17 @@ class TrackerConfig:
     iou_gate: float = 0.3          # min IoU for a feasible match
     appearance_weight: float = 0.0  # cost = (1-w)*(1-IoU) + w*(1-appearance)
     cost_infeasible: float = 1e4   # cost assigned to gated pairs
+    # Carry the auction's (prices, matching) across frames and warm-start
+    # the next solve (ops/assignment.auction_assign_warm).  Implemented,
+    # proven optimality-safe, and MEASURED A LOSS on the bench fixture
+    # (tools/sweep_warm_auction.py, 2026-08-17): a gap-bidding auction
+    # terminates with every pair at eps-indifference, so per-frame cost
+    # noise breaks roughly half the carried pairs, the budgeted warm
+    # phase burns its rounds and falls back cold — mean assign_iters 11.5
+    # warm vs 6.0 cold, identical MOTA/IDF1/IDSW.  Default off; the flag
+    # stays for near-static-scene deployments (the one fixture frame
+    # where the carry held converged in 3 rounds vs 6).
+    auction_warm_start: bool = False
 
     # Lifecycle (SORT-style tentative/confirmed/lost state machine).
     n_init: int = 3                # hits to confirm a tentative track

@@ -57,12 +57,61 @@ def auction_assign(cost: jnp.ndarray, feasible: jnp.ndarray,
     return auction_assign_stats(cost, feasible, eps, max_iters)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "eps"))
 def auction_assign_stats(cost: jnp.ndarray, feasible: jnp.ndarray,
                          eps: float = DEFAULT_EPS, max_iters: int = 2000
                          ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """auction_assign plus observability: returns (row_to_col [N] int32,
-    iters [] int32, converged [] bool).
+    iters [] int32, converged [] bool)."""
+    n = max(cost.shape) if cost.size else 0
+    out = auction_assign_warm(
+        cost, feasible, jnp.zeros((n,), jnp.float32),
+        jnp.full((n,), -1, jnp.int32), eps, max_iters)
+    return out[0], out[1], out[2]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_iters", "eps", "warm_budget"))
+def auction_assign_warm(
+        cost: jnp.ndarray, feasible: jnp.ndarray,
+        init_prices: jnp.ndarray, init_col_of: jnp.ndarray,
+        eps: float = DEFAULT_EPS, max_iters: int = 2000,
+        warm_budget: int = 6
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray]:
+    """Dynamic-auction warm start; returns (row_to_col [N], iters [],
+    converged [], prices [n], col_of [n]) with n = max(N, M).
+
+    The tracking-specific accelerator: consecutive MOT frames pose
+    near-identical assignment problems.  Carrying only the PRICES is a
+    known trap — final auction prices encode post-gap-bid indifference
+    (each winner's value sits ~eps below its second best), so an empty
+    assignment against stale prices scrambles preferences into eps-step
+    price-climbing churn (measured: >2000 rounds where a cold start
+    takes 4).  The sound warm start is Bertsekas' dynamic assignment:
+    carry the (prices, matching) PAIR, re-validate every carried pair
+    against eps-complementary-slackness under the NEW benefits, keep the
+    pairs that still satisfy it, and re-auction only the violators.  The
+    standard auction invariant (all assigned pairs eps-CS at all times)
+    admits any eps-CS partial initial assignment, so the n*eps
+    suboptimality bound is unchanged (Bertsekas 1988, Prop. 1).
+
+    The warm phase is BUDGETED (warm_budget active rounds): when the
+    carried matching is structurally wrong for the new frame (det-order
+    permutation, mass birth/death, an augmenting-path reshuffle), the
+    warm state converges by war-of-attrition +eps eviction chains —
+    measured >2000 rounds at n=80 where cold takes 4, because every
+    carried pair sits AT indifference so no gap-bid can separate the
+    contenders.  Rather than pay that, the program resets to the cold
+    start (zero prices, empty matching — its first bids are large
+    gap-bids that separate instantly) and finishes under max_iters.
+    Steady-state frames converge inside the warm budget in 0-2 rounds;
+    distress frames cost cold + warm_budget.  Both phases run in one
+    jitted program; no host round-trip decides the fallback.
+
+    init_prices [n] float32 and init_col_of [n] int32 (row -> column of
+    the carried matching, -1 = none; must be a matching: no column
+    repeated) come from a previous call's last two outputs; pass zeros /
+    -1 for a cold start (== auction_assign_stats).
 
     converged=False means the loop hit max_iters with some row still
     unassigned — the returned assignment is partial and the caller should
@@ -78,8 +127,13 @@ def auction_assign_stats(cost: jnp.ndarray, feasible: jnp.ndarray,
     n_rows, m_cols = cost.shape
     if n_rows == 0 or m_cols == 0:
         return (jnp.full((n_rows,), -1, jnp.int32), jnp.int32(0),
-                jnp.bool_(True))
+                jnp.bool_(True), jnp.asarray(init_prices, jnp.float32),
+                jnp.asarray(init_col_of, jnp.int32))
     n = max(n_rows, m_cols)
+    if init_prices.shape != (n,) or init_col_of.shape != (n,):
+        raise ValueError(
+            f"init_prices/init_col_of must be [{n}] (squared problem "
+            f"size), got {init_prices.shape}/{init_col_of.shape}")
 
     b = jnp.where(feasible,
                   jnp.clip(COST_CAP - cost, 0.0, COST_CAP) + 1.0,
@@ -152,19 +206,88 @@ def auction_assign_stats(cost: jnp.ndarray, feasible: jnp.ndarray,
             state = round_(state)
         return state
 
-    init = (jnp.zeros((n,), jnp.float32),
-            jnp.full((n,), -1, jnp.int32),
-            jnp.full((n,), -1, jnp.int32),
-            jnp.int32(0))
-    _, col_of, _, iters = jax.lax.while_loop(cond, body, init)
+    # NOTE — a structural pre-assignment of the zero-benefit block (rank-
+    # pairing dead rows onto dead columns at price 0) was built and
+    # measured AGAINST here: whenever the dead-row/dead-column counts
+    # mismatch (they almost always do — clutter and padding counts are
+    # independent), the leftover dummy's eviction chain walks the parked
+    # block ONE bid per round (observed 9-24 rounds where the plain cold
+    # start takes 4, because parallel Jacobi bidding resolves the whole
+    # indifferent block in 1-2 rounds).  Do not reintroduce it.
+
+    # Re-validate the carried matching against eps-CS under the NEW
+    # benefits: keep pair (i, j) iff its value is within eps of row i's
+    # best — the exact invariant the auction maintains for its own
+    # assignments, so kept pairs are indistinguishable from auction-made
+    # ones.  Violators (died tracks, moved targets, newly infeasible
+    # pairs) restart unassigned.
+    #
+    # Crucially, columns OUTSIDE the kept matching have their carried
+    # price zeroed before the check.  Initial prices are arbitrary (the
+    # bound only needs final eps-CS against the same prices the solve
+    # starts from), and a freed column keeping its stale indifference-
+    # level price repels exactly the displaced row that should re-claim
+    # it — the broken rows then converge by +eps attrition instead of
+    # one gap-bid (measured: >2000 rounds).  Zeroing can break further
+    # pairs (a zero-priced column may now dominate a neighbour's kept
+    # pair), so the keep/zero step is peeled a few fixed passes; the
+    # warm-budget fallback below covers any stragglers.
+    p_carried = jnp.asarray(init_prices, jnp.float32)
+    c0 = jnp.asarray(init_col_of, jnp.int32)
+    pair_mask = col_iota2 == c0[:, None]                   # [n, n]
+    keep = c0 >= 0
+    p0 = p_carried
+    for _ in range(3):
+        col_kept = jnp.any(pair_mask & keep[:, None], axis=0)  # [n]
+        p0 = jnp.where(col_kept, p_carried, 0.0)
+        values0 = b - p0[None, :]
+        m1_0 = jnp.max(values0, axis=1)
+        v_at = jnp.max(jnp.where(pair_mask, values0, -jnp.inf), axis=1)
+        keep = keep & (v_at >= m1_0 - eps)
+    # p0 stays the vector the LAST keep-check ran against — kept pairs
+    # provably satisfy eps-CS w.r.t. the exact prices the solve starts
+    # from.  (Columns freed by that final check retain stale prices; the
+    # warm budget covers the rare straggler they slow down.)
+    col_of0 = jnp.where(keep, c0, -1)
+    # row_of: inverse mapping of the kept pairs (dense one-hot max; the
+    # carried matching never repeats a column, so at most one row wins).
+    keep_mask = pair_mask & keep[:, None]                  # [n, n]
+    row_of0 = jnp.max(
+        jnp.where(keep_mask,
+                  jax.lax.broadcasted_iota(jnp.int32, (n, n), 0),
+                  -1), axis=0)                             # [n]
+
+    # Phase 1 — budgeted warm solve from the carried state.
+    def warm_cond(state):
+        _, col_of, _, it = state
+        return jnp.any(col_of < 0) & (it < min(warm_budget, max_iters))
+
+    init = (p0, col_of0, row_of0, jnp.int32(0))
+    w_prices, w_col, w_row, w_it = jax.lax.while_loop(warm_cond, body, init)
+
+    # Phase 2 — cold fallback if the warm budget ran out: reset to zero
+    # prices / empty matching (keeping the round counter for
+    # observability) and run the standard auction.  When phase 1
+    # converged this select is an identity and the loop body never runs.
+    # The reset only fires when phase 1 actually started from carried
+    # pairs — with an empty carry (the cold entry point) phase 1 IS the
+    # cold solve and phase 2 simply continues it.
+    reset = jnp.any(w_col < 0) & jnp.any(keep)
+    st = (jnp.where(reset, jnp.zeros((n,), jnp.float32), w_prices),
+          jnp.where(reset, jnp.full((n,), -1, jnp.int32), w_col),
+          jnp.where(reset, jnp.full((n,), -1, jnp.int32), w_row),
+          w_it)
+    prices, col_of, _, iters = jax.lax.while_loop(cond, body, st)
     converged = jnp.all(col_of >= 0)
 
     # Keep real rows only; strip dummy columns and infeasible matches.
+    carry_col_of = col_of
     col_of = col_of[:n_rows]
     matched_real = (col_of >= 0) & (col_of < m_cols)
     ok = matched_real & jnp.take_along_axis(
         feasible, jnp.clip(col_of, 0, m_cols - 1)[:, None], axis=1)[:, 0]
-    return jnp.where(ok, col_of, -1).astype(jnp.int32), iters, converged
+    return (jnp.where(ok, col_of, -1).astype(jnp.int32), iters, converged,
+            prices, carry_col_of)
 
 
 def scipy_assign(cost: np.ndarray, feasible: np.ndarray) -> np.ndarray:

@@ -36,6 +36,15 @@ class TrackBank(NamedTuple):
     time_since_update: jnp.ndarray  # [T] int32 frames since last detection
     age: jnp.ndarray          # [T] int32 frames since birth
     score: jnp.ndarray        # [T] float32 last confidence
+    auction_prices: jnp.ndarray  # [max(T, D)] float32 — carried column
+                              # prices that warm-start the next frame's
+                              # auction (ops/assignment.auction_assign_warm);
+                              # zeros when cfg.auction_warm_start is off.
+    auction_col_of: jnp.ndarray  # [max(T, D)] int32 — the carried
+                              # matching (padded row -> column, -1 = none)
+                              # that pairs with auction_prices; the
+                              # dynamic auction re-validates it against
+                              # eps-CS each frame.
     next_id: jnp.ndarray      # [] int32
     frame_idx: jnp.ndarray    # [] int32
 
@@ -69,6 +78,10 @@ def empty_bank(cfg: TrackerConfig) -> TrackBank:
         time_since_update=jnp.zeros((t,), jnp.int32),
         age=jnp.zeros((t,), jnp.int32),
         score=jnp.zeros((t,), jnp.float32),
+        auction_prices=jnp.zeros(
+            (max(t, cfg.max_detections),), jnp.float32),
+        auction_col_of=jnp.full(
+            (max(t, cfg.max_detections),), -1, jnp.int32),
         next_id=jnp.int32(0),
         frame_idx=jnp.int32(0),
     )

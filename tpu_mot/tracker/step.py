@@ -35,6 +35,7 @@ from tpu_mot.ops import iou as iou_ops
 from tpu_mot.ops import kalman
 from tpu_mot.ops import kcf as kcf_ops
 from tpu_mot.ops import patch as patch_ops
+from tpu_mot.ops import assignment
 from tpu_mot.ops.assignment import auction_assign_stats
 from tpu_mot.tracker import bank as bank_mod
 from tpu_mot.tracker.bank import CONFIRMED, EMPTY, TENTATIVE, TrackBank
@@ -266,8 +267,23 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     feasible = cost < cfg.cost_infeasible * 0.5
 
     # ---- 4. Assignment -----------------------------------------------
-    matched_det, assign_iters, assign_conv = auction_assign_stats(
-        cost, feasible)                                          # [T]
+    # Warm-start the auction with the previous frame's equilibrium
+    # prices (exact-safe: the n*eps bound depends only on final eps-CS —
+    # see ops/assignment.auction_assign_warm).  Static gate: the carried
+    # vector is sized for cfg.max_detections; a caller tracing with a
+    # different detection padding falls back to a cold start.
+    n_sq = max(t_cap, dets.shape[0])
+    warm = cfg.auction_warm_start and bank.auction_prices.shape == (n_sq,)
+    if warm:
+        (matched_det, assign_iters, assign_conv, new_prices,
+         new_col_of) = assignment.auction_assign_warm(
+            cost, feasible, bank.auction_prices,
+            bank.auction_col_of)                                 # [T]
+    else:
+        matched_det, assign_iters, assign_conv = auction_assign_stats(
+            cost, feasible)                                      # [T]
+        new_prices = bank.auction_prices
+        new_col_of = bank.auction_col_of
     is_matched = matched_det >= 0
     det_idx = jnp.clip(matched_det, 0, dets.shape[0] - 1)
     det_taken = jnp.zeros((dets.shape[0],), bool).at[
@@ -397,7 +413,9 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     new_bank = TrackBank(
         kf_mean=kf_mean, kf_cov=kf_cov, kcf=kcf_model, ids=ids,
         state=state, hits=hits, time_since_update=tsu, age=age,
-        score=score, next_id=next_id, frame_idx=bank.frame_idx + 1)
+        score=score, auction_prices=new_prices,
+        auction_col_of=new_col_of, next_id=next_id,
+        frame_idx=bank.frame_idx + 1)
 
     out = StepOutput(
         ids=ids,
