@@ -135,15 +135,68 @@ def test_decode_head_known_cell():
 
 
 @pytest.mark.parametrize("variant,n_heads", [("yolov3-tiny", 2),
-                                             ("yolov2-tiny", 1)])
+                                             ("yolov2-tiny", 1),
+                                             ("yolov3", 3),
+                                             ("yolov2", 1)])
 def test_forward_shapes(variant, n_heads):
-    spec = YoloSpec(variant, num_classes=4, input_size=160)
+    size = 96 if variant in ("yolov3", "yolov2") else 160
+    spec = YoloSpec(variant, num_classes=4, input_size=size)
     model = build_model(spec)
     var = model.init(jax.random.PRNGKey(0),
-                     jnp.zeros((2, 160, 160, 3), jnp.float32))
-    heads = model.apply(var, jnp.zeros((2, 160, 160, 3), jnp.float32))
+                     jnp.zeros((2, size, size, 3), jnp.float32))
+    heads = model.apply(var, jnp.zeros((2, size, size, 3), jnp.float32))
     assert len(heads) == n_heads
-    assert heads[0].shape[1] == 160 // 32
+    assert heads[0].shape[1] == size // 32
+    for head, stride, anchors in zip(heads, spec.strides, spec.anchors):
+        assert head.shape[1:] == (size // stride, size // stride,
+                                  len(anchors) * (5 + 4))
+
+
+def test_canonical_anchor_resolution():
+    """anchors=None resolves per variant; mismatched overrides rejected."""
+    from tpu_mot.models.yolo import (YOLOV3_ANCHORS, YOLOV3_TINY_ANCHORS)
+    assert YoloSpec("yolov3").anchors == YOLOV3_ANCHORS
+    assert YoloSpec("yolov3-tiny").anchors == YOLOV3_TINY_ANCHORS
+    assert len(YoloSpec("yolov2").anchors) == 1
+    with pytest.raises(ValueError, match="unknown yolo variant"):
+        YoloSpec("yolov9000")
+    with pytest.raises(ValueError, match="anchor groups"):
+        build_model(YoloSpec("yolov3", anchors=YOLOV3_TINY_ANCHORS))
+
+
+def test_reorg_space_to_depth_ordering():
+    """Passthrough layer: out channel k = (dy*s + dx)*C + c (the ordering
+    public v2 weight-conversion ports use)."""
+    from tpu_mot.models.yolo import _reorg
+    x = jnp.arange(2 * 4 * 6 * 3, dtype=jnp.float32).reshape(2, 4, 6, 3)
+    r = np.asarray(_reorg(x))
+    assert r.shape == (2, 2, 3, 12)
+    xn = np.asarray(x)
+    for dy in range(2):
+        for dx in range(2):
+            for c in range(3):
+                np.testing.assert_array_equal(
+                    r[..., (dy * 2 + dx) * 3 + c], xn[:, dy::2, dx::2, c])
+
+
+def test_cls_activation_by_lineage():
+    """v3-family decodes classes with independent sigmoids, v2-family with
+    a softmax — a cell whose class logits are all high must score ~1 under
+    sigmoid but ~1/C under softmax."""
+    nc, a = 4, 2
+    anchors = ((20, 30), (40, 60))
+    raw = np.full((1, 2, 2, a * (5 + nc)), -10.0, np.float32)
+    raw[0, 0, 0, 4] = 10.0                  # objectness ~1, anchor 0
+    raw[0, 0, 0, 5:5 + nc] = 10.0           # every class logit high
+    sig = decode_head(jnp.asarray(raw), anchors, 32, nc, 64,
+                      cls_act="sigmoid")[1]
+    soft = decode_head(jnp.asarray(raw), anchors, 32, nc, 64,
+                       cls_act="softmax")[1]
+    assert float(sig[0, 0]) > 0.95
+    assert abs(float(soft[0, 0]) - 1.0 / nc) < 0.05
+    assert YoloSpec("yolov3").cls_activation == "sigmoid"
+    assert YoloSpec("yolov3-tiny").cls_activation == "sigmoid"
+    assert YoloSpec("yolov2").cls_activation == "softmax"
 
 
 def test_detect_end_to_end_shapes():
@@ -159,17 +212,19 @@ def test_detect_end_to_end_shapes():
     assert np.all(dets[valid][:, 0] <= 160 * 2)
 
 
-@pytest.mark.parametrize("model_name", ["yolov2-tiny", "yolov3-tiny"])
+@pytest.mark.parametrize("model_name", ["yolov2-tiny", "yolov3-tiny",
+                                        "yolov2", "yolov3"])
 def test_darknet_weight_roundtrip(tmp_path, model_name):
     """Serialize random darknet-format weights, load, and check exact
-    placement (BN folding order, OIHW→HWIO transpose) — for both model
-    families (v3-tiny exercises the two-head routing/upsample layer
-    order)."""
+    placement (BN folding order, OIHW→HWIO transpose) — for all four
+    family members (v3-tiny exercises the two-head routing/upsample layer
+    order; full v2 the passthrough-conv interleave; full v3 the 75-conv
+    three-head order)."""
     if model_name == "yolov2-tiny":
         spec = YoloSpec("yolov2-tiny", num_classes=2, input_size=96,
                         anchors=YOLOV2_TINY_ANCHORS)
     else:
-        spec = YoloSpec("yolov3-tiny", num_classes=3, input_size=96)
+        spec = YoloSpec(model_name, num_classes=2, input_size=96)
     det = YoloDetector.random_init(spec)
     rng = np.random.default_rng(0)
 

@@ -51,7 +51,7 @@ def detect_batch(params, frames: jnp.ndarray, spec: YoloSpec,
     all_boxes, all_scores, all_classes = [], [], []
     for head, anchors, stride in zip(heads, spec.anchors, spec.strides):
         bx, sc, cl = decode_head(head, anchors, stride, spec.num_classes,
-                                 s)
+                                 s, cls_act=spec.cls_activation)
         all_boxes.append(bx)
         all_scores.append(sc)
         all_classes.append(cl)
@@ -71,6 +71,17 @@ def detect_batch(params, frames: jnp.ndarray, spec: YoloSpec,
         return dets, valid, jnp.where(valid, cl[safe], -1)
 
     return jax.vmap(one)(boxes, scores, classes)
+
+
+def dets_with_classes(dets: jnp.ndarray, classes: jnp.ndarray):
+    """[..., D, 5] detections + [..., D] int class ids → [..., D, 6].
+
+    The 6-column form is what tracker.step consumes for class-aware
+    association (cfg.class_aware); column 5 round-trips through float32
+    exactly for class ids < 2^24.
+    """
+    return jnp.concatenate(
+        [dets, classes[..., None].astype(dets.dtype)], axis=-1)
 
 
 class YoloDetector:
@@ -154,6 +165,27 @@ def _conv_layers_in_call_order(spec: YoloSpec):
     if spec.name == "yolov2-tiny":
         names = [f"ConvBlock_{i}" for i in range(8)] + ["head0"]
         return list(zip(names, [True] * 8 + [False]))
+    if spec.name == "yolov2":
+        # darknet-19 backbone (18 convs) + detection convs 19/20, the
+        # 64-ch 1x1 passthrough conv, the post-concat 1024 conv, then the
+        # linear head — exactly the darknet cfg serialization order,
+        # which YoloV2.__call__ reproduces as its construction order.
+        names = [f"ConvBlock_{i}" for i in range(22)] + ["head0"]
+        return list(zip(names, [True] * 22 + [False]))
+    if spec.name == "yolov3":
+        # darknet-53 (52 convs) + convset A (5) + 1024 pre-head conv,
+        # head0; 256 1x1 upsample conv, convset B (5), 512 pre-head conv,
+        # head1; 128 1x1 upsample conv, convset C (5), 256 pre-head conv,
+        # head2.  75 convs total in cfg order; the explicit head names
+        # do not consume flax auto-numbering, so ConvBlock_{0..71} are
+        # the 72 BN convs in construction order.
+        order = ([(f"ConvBlock_{i}", True) for i in range(58)]
+                 + [("head0", False)]
+                 + [(f"ConvBlock_{i}", True) for i in range(58, 65)]
+                 + [("head1", False)]
+                 + [(f"ConvBlock_{i}", True) for i in range(65, 72)]
+                 + [("head2", False)])
+        return order
     raise ValueError(spec.name)
 
 

@@ -2,12 +2,20 @@
 as a native JAX model (BASELINE.json north star: "the YOLO CNN detector is
 re-served as a JAX model replacing the TensorFlow wrapper").
 
-Two family members cover the reference's detector class (SURVEY.md §2 row
+Four family members cover the reference's detector class (SURVEY.md §2 row
 "detector (YOLO)"):
 
+  * yolov3      — full darknet-53 backbone, three heads (stride 32/16/8).
   * yolov3_tiny — the standard 13-conv two-head tiny variant (darknet
     layout, so public .weights files load via models.detector).
-  * yolov2_tiny — single-head darkflow-era variant.
+  * yolov2      — full darknet-19 + passthrough (reorg) single head; the
+    darkflow-served model class the reference wraps in TensorFlow.
+  * yolov2_tiny — single-head darkflow-era tiny variant.
+
+Class activation follows the lineage: v2-family heads use a softmax over
+classes, v3-family heads use independent per-class sigmoids (the darknet
+"logistic" classifier switch) — threaded through decode and the training
+loss via YoloSpec.cls_activation.
 
 All convs run in NHWC with optional bfloat16 compute (MXU-native); decode
 and NMS run on device so detect() is one jitted program per frame batch.
@@ -32,6 +40,22 @@ YOLOV2_TINY_ANCHORS = (
     ((18.3, 21.6), (59.9, 66.0), (106.8, 175.5), (252.2, 112.9),
      (312.2, 293.4)),                        # single head, stride 32
 )
+# Full v2 shares the v2 anchor set (darknet publishes them in grid units;
+# these are the same values scaled by stride 32 into input pixels).
+YOLOV2_ANCHORS = YOLOV2_TINY_ANCHORS
+YOLOV3_ANCHORS = (
+    ((116, 90), (156, 198), (373, 326)),     # head 0, stride 32
+    ((30, 61), (62, 45), (59, 119)),         # head 1, stride 16
+    ((10, 13), (16, 30), (33, 23)),          # head 2, stride 8
+)
+
+
+_CANONICAL_ANCHORS = {
+    "yolov3": YOLOV3_ANCHORS,
+    "yolov3-tiny": YOLOV3_TINY_ANCHORS,
+    "yolov2": YOLOV2_ANCHORS,
+    "yolov2-tiny": YOLOV2_TINY_ANCHORS,
+}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,7 +63,9 @@ class YoloSpec:
     name: str
     num_classes: int = 80
     input_size: int = 416
-    anchors: tuple = YOLOV3_TINY_ANCHORS
+    # None → the variant's canonical anchor set (resolved in __post_init__);
+    # pass an explicit per-head tuple-of-tuples to override.
+    anchors: tuple | None = None
     dtype: str = "float32"      # conv compute dtype ("bfloat16" for MXU)
     # BatchNorm running-stats momentum: 0.99 matches darknet for long
     # training runs; small/fast fine-tunes want ~0.9 so the running
@@ -48,9 +74,26 @@ class YoloSpec:
     # close).
     bn_momentum: float = 0.99
 
+    def __post_init__(self):
+        if self.anchors is None:
+            if self.name not in _CANONICAL_ANCHORS:
+                raise ValueError(
+                    f"unknown yolo variant {self.name!r}; have "
+                    f"{sorted(_CANONICAL_ANCHORS)} (or pass anchors=)")
+            object.__setattr__(self, "anchors",
+                               _CANONICAL_ANCHORS[self.name])
+
     @property
     def strides(self) -> tuple:
-        return (32, 16)[: len(self.anchors)]
+        return (32, 16, 8)[: len(self.anchors)]
+
+    @property
+    def cls_activation(self) -> str:
+        """Per-lineage class activation: v3 heads score classes with
+        independent sigmoids (darknet's logistic switch), v2 heads with a
+        softmax.  Used by both decode_head and the training loss so the
+        model trains against the same link function it is decoded with."""
+        return "sigmoid" if self.name.startswith("yolov3") else "softmax"
 
 
 class ConvBlock(nn.Module):
@@ -83,6 +126,24 @@ class ConvBlock(nn.Module):
 
 def _maxpool(x, stride=2):
     return nn.max_pool(x, (2, 2), strides=(stride, stride), padding="SAME")
+
+
+def _reorg(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
+    """YOLOv2 passthrough layer: space-to-depth, [B, H, W, C] →
+    [B, H/s, W/s, s*s*C] with output channel k = (dy*s + dx)*C + c.
+
+    This is the ordering the darkflow/pytorch ports of yolov2 use for the
+    passthrough route (block-position-major, source-channel-minor).
+    darknet's own reorg kernel has a well-known index quirk; the port
+    ordering is the one public v2 weight conversions are checked against,
+    so it is the right target for load parity [K-class evidence,
+    SURVEY.md §0 — no reference file to cite].
+    """
+    b, h, w, c = x.shape
+    s = stride
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // s, w // s, s * s * c)
 
 
 class YoloV3Tiny(nn.Module):
@@ -154,21 +215,158 @@ class YoloV2Tiny(nn.Module):
         return (x.astype(jnp.float32),)
 
 
+class YoloV2(nn.Module):
+    """Full YOLOv2: darknet-19 backbone + passthrough (reorg) head.
+
+    Construction order follows the darknet cfg exactly so that flax's
+    auto-numbered ConvBlock_{i} names enumerate in the .weights file
+    order (see detector._conv_layers_in_call_order).
+    """
+    spec: YoloSpec
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
+        nc = self.spec.num_classes
+        n_anchor = len(self.spec.anchors[0])
+        cb = lambda f, k=3, **kw: ConvBlock(
+            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum, **kw)
+        c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
+
+        x = c(32)(x)
+        x = _maxpool(x)
+        x = c(64)(x)
+        x = _maxpool(x)
+        x = c(128)(x)
+        x = c(64, k=1)(x)
+        x = c(128)(x)
+        x = _maxpool(x)
+        x = c(256)(x)
+        x = c(128, k=1)(x)
+        x = c(256)(x)
+        x = _maxpool(x)
+        x = c(512)(x)
+        x = c(256, k=1)(x)
+        x = c(512)(x)
+        x = c(256, k=1)(x)
+        x = c(512)(x)
+        route16 = x                          # stride-16 512-ch feature
+        x = _maxpool(x)
+        x = c(1024)(x)
+        x = c(512, k=1)(x)
+        x = c(1024)(x)
+        x = c(512, k=1)(x)
+        x = c(1024)(x)
+        # Detection block.
+        x = c(1024)(x)
+        x = c(1024)(x)
+        p = c(64, k=1)(route16)
+        p = _reorg(p)                        # [B, Hg, Wg, 256]
+        x = jnp.concatenate([p, x], axis=-1)
+        x = c(1024)(x)
+        x = ConvBlock(n_anchor * (5 + nc), 1, use_bn=False, act=False,
+                      dtype=dt, name="head0")(x, train)
+        return (x.astype(jnp.float32),)
+
+
+class YoloV3(nn.Module):
+    """Full YOLOv3: darknet-53 backbone, three heads (stride 32/16/8).
+
+    75 conv layers in darknet cfg order (52 backbone + 23 head/neck), so
+    the flax auto-numbering again matches the .weights serialization.
+    """
+    spec: YoloSpec
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
+        nc = self.spec.num_classes
+        heads_a = [len(a) for a in self.spec.anchors]
+        cb = lambda f, k=3, **kw: ConvBlock(
+            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum, **kw)
+        c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
+
+        def res(x, half):
+            # darknet-53 residual: 1x1 halve, 3x3 restore, identity add
+            # (no activation on the sum — the blocks' leaky relu is it).
+            y = c(half, k=1)(x)
+            y = c(half * 2)(y)
+            return x + y
+
+        x = c(32)(x)
+        x = c(64, stride=2)(x)
+        x = res(x, 32)
+        x = c(128, stride=2)(x)
+        for _ in range(2):
+            x = res(x, 64)
+        x = c(256, stride=2)(x)
+        for _ in range(8):
+            x = res(x, 128)
+        route8 = x                            # stride-8, 256 ch
+        x = c(512, stride=2)(x)
+        for _ in range(8):
+            x = res(x, 256)
+        route16 = x                           # stride-16, 512 ch
+        x = c(1024, stride=2)(x)
+        for _ in range(4):
+            x = res(x, 512)
+
+        def convset(x, f):
+            for k in (1, 3, 1, 3, 1):
+                x = c(f if k == 1 else f * 2, k=k)(x)
+            return x
+
+        def upsample2(u):
+            return jax.image.resize(
+                u, (u.shape[0], u.shape[1] * 2, u.shape[2] * 2,
+                    u.shape[3]), "nearest")
+
+        # Head 0 (stride 32).
+        branch0 = convset(x, 512)
+        y0 = c(1024)(branch0)
+        y0 = ConvBlock(heads_a[0] * (5 + nc), 1, use_bn=False, act=False,
+                       dtype=dt, name="head0")(y0, train)
+        # Head 1 (stride 16).
+        u = upsample2(c(256, k=1)(branch0))
+        branch1 = convset(jnp.concatenate([u, route16], axis=-1), 256)
+        y1 = c(512)(branch1)
+        y1 = ConvBlock(heads_a[1] * (5 + nc), 1, use_bn=False, act=False,
+                       dtype=dt, name="head1")(y1, train)
+        # Head 2 (stride 8).
+        u = upsample2(c(128, k=1)(branch1))
+        branch2 = convset(jnp.concatenate([u, route8], axis=-1), 128)
+        y2 = c(256)(branch2)
+        y2 = ConvBlock(heads_a[2] * (5 + nc), 1, use_bn=False, act=False,
+                       dtype=dt, name="head2")(y2, train)
+        return (y0.astype(jnp.float32), y1.astype(jnp.float32),
+                y2.astype(jnp.float32))
+
+
 def build_model(spec: YoloSpec):
-    if spec.name == "yolov3-tiny":
-        return YoloV3Tiny(spec)
-    if spec.name == "yolov2-tiny":
-        return YoloV2Tiny(spec)
-    raise ValueError(f"unknown yolo variant {spec.name!r}")
+    builders = {"yolov3": YoloV3, "yolov3-tiny": YoloV3Tiny,
+                "yolov2": YoloV2, "yolov2-tiny": YoloV2Tiny}
+    if spec.name not in builders:
+        raise ValueError(f"unknown yolo variant {spec.name!r}")
+    n_heads = {"yolov3": 3, "yolov3-tiny": 2, "yolov2": 1,
+               "yolov2-tiny": 1}[spec.name]
+    if len(spec.anchors) != n_heads:
+        raise ValueError(
+            f"{spec.name} has {n_heads} heads but spec carries "
+            f"{len(spec.anchors)} anchor groups (leave anchors=None for "
+            f"the canonical set)")
+    return builders[spec.name](spec)
 
 
 def decode_head(raw: jnp.ndarray, anchors: Sequence, stride: int,
-                num_classes: int, input_size: int):
+                num_classes: int, input_size: int,
+                cls_act: str = "softmax"):
     """Raw head output [B, Hg, Wg, A*(5+C)] → (boxes [B, N, 4] cxcywh in
     input pixels, scores [B, N], classes [B, N]) with N = Hg*Wg*A.
 
     Standard YOLOv2/v3 decode: sigmoid xy offset + grid, anchor * exp(wh),
-    sigmoid objectness * max-class probability.
+    sigmoid objectness * max-class probability.  cls_act selects the class
+    link function ("softmax" = v2 lineage, "sigmoid" = v3's independent
+    logistic classifiers — pass spec.cls_activation).
     """
     b, hg, wg, _ = raw.shape
     a = len(anchors)
@@ -182,8 +380,12 @@ def decode_head(raw: jnp.ndarray, anchors: Sequence, stride: int,
     cy = (gy[None, :, :, None] + xy[..., 1]) * stride
     wh = jnp.exp(jnp.clip(raw[..., 2:4], -10.0, 8.0)) * anc[None, None, None]
     obj = jax.nn.sigmoid(raw[..., 4])
-    cls_prob = jax.nn.softmax(raw[..., 5:], axis=-1) if num_classes > 1 \
-        else jnp.ones(raw.shape[:-1] + (1,), jnp.float32)
+    if num_classes <= 1:
+        cls_prob = jnp.ones(raw.shape[:-1] + (1,), jnp.float32)
+    elif cls_act == "sigmoid":
+        cls_prob = jax.nn.sigmoid(raw[..., 5:])
+    else:
+        cls_prob = jax.nn.softmax(raw[..., 5:], axis=-1)
     best_cls = jnp.argmax(cls_prob, axis=-1)
     score = obj * jnp.max(cls_prob, axis=-1)
 

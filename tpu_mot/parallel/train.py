@@ -102,8 +102,15 @@ def yolo_loss(params, batch_stats, images, targets, spec: YoloSpec,
                    * mask).sum() / jnp.maximum(mask.sum(), 1.0)
         cls_logits = raw[..., 5:]
         cls_tgt = tgt[..., 5:]
-        cls_loss = (optax.softmax_cross_entropy(cls_logits, cls_tgt)
-                    * obj_tgt).sum() / jnp.maximum(obj_tgt.sum(), 1.0)
+        # Class link function matches decode (spec.cls_activation): v2
+        # heads train softmax-CE, v3 heads independent per-class BCE.
+        if spec.cls_activation == "sigmoid":
+            cls_ce = optax.sigmoid_binary_cross_entropy(
+                cls_logits, cls_tgt).mean(-1)
+        else:
+            cls_ce = optax.softmax_cross_entropy(cls_logits, cls_tgt)
+        cls_loss = ((cls_ce * obj_tgt).sum()
+                    / jnp.maximum(obj_tgt.sum(), 1.0))
         total = total + obj_loss + 5.0 * (xy_loss + wh_loss) + cls_loss
     if train:
         return total, new_stats
