@@ -1,0 +1,141 @@
+"""Class-aware association (cfg.class_aware): detections may carry a
+detector class id as a 6th column; a track then only matches detections of
+its birth class (cross-class pairs are gated infeasible exactly like a
+failed IoU gate).
+
+The reference pipeline tracks a single detector class (SURVEY.md §2 row
+"detector (YOLO)" — the darkflow wrapper filters one class before the
+tracker sees detections), so class_aware defaults OFF and 5-column
+detections keep their exact traces; these tests pin the opt-in behavior.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_mot.config import TrackerConfig
+from tpu_mot.models.detector import dets_with_classes
+from tpu_mot.tracker import step as step_mod
+from tpu_mot.tracker.api import MultiTracker, pad_detections
+
+
+def _cfg(**kw):
+    kw.setdefault("max_tracks", 8)
+    kw.setdefault("max_detections", 8)
+    kw.setdefault("frame_height", 120)
+    kw.setdefault("frame_width", 160)
+    kw.setdefault("use_kcf", False)
+    kw.setdefault("n_init", 1)
+    kw.setdefault("roi_impl", "xla")
+    return TrackerConfig(**kw)
+
+
+def _pad6(rows, cap):
+    return pad_detections(np.asarray(rows, np.float32), cap)
+
+
+def test_cross_class_pair_is_gated():
+    """A det at the track's exact location but of another class must not
+    match; it births a new track instead (and the track coasts)."""
+    frame = np.zeros((120, 160), np.float32)
+    for aware, expect_match in [(True, False), (False, True)]:
+        cfg = _cfg(class_aware=aware)
+        dets, valid = _pad6([[50, 60, 20, 20, 1.0, 0.0]],
+                            cfg.max_detections)
+        bank, _ = step_mod.init(jnp.asarray(frame), jnp.asarray(dets),
+                                jnp.asarray(valid), cfg)
+        # Same box, class 1 now.
+        dets2, valid2 = _pad6([[50, 60, 20, 20, 1.0, 1.0]],
+                              cfg.max_detections)
+        bank, out = step_mod.step(bank, jnp.asarray(frame),
+                                  jnp.asarray(dets2), jnp.asarray(valid2),
+                                  cfg)
+        matched = int(np.asarray(out.matched_det)[0])
+        if expect_match:
+            assert matched == 0
+        else:
+            assert matched == -1
+            # The class-1 det birthed a fresh track carrying its class.
+            cls = np.asarray(out.cls)
+            ids = np.asarray(out.ids)
+            assert set(cls[ids >= 0]) == {0, 1}
+
+
+def test_birth_records_class_and_output_surfaces_it():
+    cfg = _cfg(class_aware=True)
+    frame = np.zeros((120, 160), np.float32)
+    dets, valid = _pad6([[30, 30, 16, 16, 0.9, 2.0],
+                         [100, 80, 16, 16, 0.8, 5.0]], cfg.max_detections)
+    bank, out = step_mod.init(jnp.asarray(frame), jnp.asarray(dets),
+                              jnp.asarray(valid), cfg)
+    cls = np.asarray(out.cls)
+    ids = np.asarray(out.ids)
+    assert sorted(cls[ids >= 0].tolist()) == [2, 5]
+    assert np.all(cls[ids < 0] == -1)
+    assert np.array_equal(np.asarray(bank.cls), cls)
+
+
+def test_five_column_dets_under_class_aware_are_single_class():
+    """[D, 5] detections with class_aware=True behave as all class 0 —
+    the gate is trivially true (documented single-class semantics)."""
+    cfg = _cfg(class_aware=True)
+    frame = np.zeros((120, 160), np.float32)
+    dets, valid = pad_detections(
+        np.asarray([[50, 60, 20, 20, 1.0]], np.float32),
+        cfg.max_detections)
+    assert dets.shape[1] == 5
+    bank, _ = step_mod.init(jnp.asarray(frame), jnp.asarray(dets),
+                            jnp.asarray(valid), cfg)
+    bank, out = step_mod.step(bank, jnp.asarray(frame), jnp.asarray(dets),
+                              jnp.asarray(valid), cfg)
+    assert int(np.asarray(out.matched_det)[0]) == 0
+    assert int(np.asarray(out.cls)[0]) == 0
+
+
+def test_pad_detections_keeps_class_column():
+    out6, valid = _pad6([[1, 2, 3, 4, 0.5, 7.0]], 4)
+    assert out6.shape == (4, 6)
+    assert out6[0, 5] == 7.0
+    out5, _ = pad_detections(np.zeros((2, 5), np.float32), 4)
+    assert out5.shape == (4, 5)          # 5-col callers: unchanged trace
+    out4, _ = pad_detections(np.zeros((2, 4), np.float32), 4)
+    assert out4.shape == (4, 5)
+
+
+def test_dets_with_classes_helper():
+    dets = jnp.ones((3, 4, 5), jnp.float32)
+    classes = jnp.asarray([[0, 1, 2, 3]] * 3, jnp.int32)
+    out = dets_with_classes(dets, classes)
+    assert out.shape == (3, 4, 6)
+    np.testing.assert_array_equal(np.asarray(out[..., 5]),
+                                  np.asarray(classes, np.float32))
+
+
+def test_crossing_targets_keep_class_consistent_ids():
+    """Two equal-size targets of different classes crossing paths: with
+    class_aware the id↔class pairing must survive the crossing frame by
+    construction (cross-class matches are infeasible)."""
+    cfg = _cfg(class_aware=True, max_age=3)
+    mt = MultiTracker(cfg)
+    frame = np.zeros((120, 160), np.float32)
+
+    def frame_dets(t):
+        xa = 30.0 + 5.0 * t           # class 0 moving right
+        xb = 130.0 - 5.0 * t          # class 1 moving left
+        return np.asarray([[xa, 60, 18, 18, 1.0, 0.0],
+                           [xb, 60, 18, 18, 1.0, 1.0]], np.float32)
+
+    mt.init(frame, frame_dets(0))
+    mt.update(frame, frame_dets(1))   # births confirm on first match
+    id_by_cls = {}
+    o = mt.last_output
+    for i in np.where(np.asarray(o.valid))[0]:
+        id_by_cls[int(np.asarray(o.cls)[i])] = int(np.asarray(o.ids)[i])
+    assert len(id_by_cls) == 2
+    for t in range(2, 21):            # they meet at t = 10 exactly
+        mt.update(frame, frame_dets(t))
+        o = mt.last_output
+        ids = np.asarray(o.ids)
+        cls = np.asarray(o.cls)
+        for i in np.where(np.asarray(o.valid))[0]:
+            assert id_by_cls[int(cls[i])] == int(ids[i]), (
+                f"id/class pairing broke at t={t}")

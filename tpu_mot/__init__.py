@@ -21,6 +21,7 @@ _EXPORTS = {
     "KCFConfig": ("tpu_mot.config", "KCFConfig"),
     "KalmanConfig": ("tpu_mot.config", "KalmanConfig"),
     "YoloSpec": ("tpu_mot.models.yolo", "YoloSpec"),
+    "dets_with_classes": ("tpu_mot.models.detector", "dets_with_classes"),
 }
 
 __all__ = list(_EXPORTS) + ["__version__"]

@@ -79,7 +79,7 @@ def _make_cfg(args, h, w):
     trk_kw = {}
     for arg in ("appearance_weight", "confidence_mode", "min_psr",
                 "n_init", "max_age", "roi_impl", "kcf_impl",
-                "train_site"):
+                "train_site", "class_aware"):
         val = getattr(args, arg, None)
         if val is not None:
             trk_kw[arg] = val
@@ -279,6 +279,10 @@ def cmd_video(args) -> int:
     if frames.size == 0:
         print(f"could not read {args.input}", file=sys.stderr)
         return 1
+    if getattr(args, "class_aware", False) and args.det_stride > 1:
+        print("--class-aware requires --det-stride 1 (the strided scan "
+              "builds 5-column detections on device)", file=sys.stderr)
+        return 2
     h, w = frames.shape[1:3]
     spec = YoloSpec(args.model, num_classes=args.classes)
     if args.weights:
@@ -308,7 +312,13 @@ def cmd_video(args) -> int:
                            else 0.3))
             all_tracks.extend(scan.unpack_outputs(outs, len(chunk)))
         else:
-            dets, valid, _ = det.detect(chunk)
+            dets, valid, classes = det.detect(chunk)
+            if getattr(args, "class_aware", False):
+                # Append the detector class column ([D, 6]) so the
+                # tracker's class gate sees it (cfg.class_aware).
+                import numpy as _np
+                dets = _np.concatenate(
+                    [dets, classes[..., None].astype(dets.dtype)], axis=-1)
             dets_list = [d[v] for d, v in zip(dets, valid)]
             bank, tracks, _ = scan.track_sequence(chunk, dets_list, cfg,
                                                   bank=bank)
@@ -378,6 +388,10 @@ def main(argv=None) -> int:
                    help="run the detector every Nth frame (lax.cond "
                         "inside the scan; KCF carries tracks between "
                         "detector frames — SURVEY §3.2 strided mode)")
+    p.add_argument("--class-aware", action="store_true", default=None,
+                   help="gate association by detector class (tracks only "
+                        "match detections of their birth class); "
+                        "incompatible with --det-stride > 1")
     p.set_defaults(fn=cmd_video)
 
     args = ap.parse_args(argv)

@@ -131,6 +131,16 @@ class TrackerConfig:
     # stays for near-static-scene deployments (the one fixture frame
     # where the carry held converged in 3 rounds vs 6).
     auction_warm_start: bool = False
+    # Class-aware association: detections may carry a class id as a 6th
+    # column (dets [D, 6]; models.detector.dets_with_classes builds it).
+    # With class_aware=True a track only matches detections of the class
+    # it was born with (cross-class pairs are gated infeasible, exactly
+    # like the IoU gate), tracks record their class in bank.cls, and
+    # StepOutput.cls surfaces it.  Off by default: the reference pipeline
+    # tracks a single detector class.  5-column detections under
+    # class_aware=True are treated as all class 0 (the gate is trivially
+    # true, matching the single-class semantics).
+    class_aware: bool = False
 
     # Lifecycle (SORT-style tentative/confirmed/lost state machine).
     n_init: int = 3                # hits to confirm a tentative track
@@ -175,6 +185,19 @@ class TrackerConfig:
     # best on the v5e; tools/bench_kcf_v2_r2.log).
     kcf_precision: str = "highest"
     kcf_block: int = 16
+    # Pyramid build implementation on the Pallas ROI path: "auto" |
+    # "fused" | "xla" ("fused" = kernels/pyramid.py one-pass kernel,
+    # "xla" = the reduce_window chain in kernels/roi.build_pyramid).
+    # "auto" currently resolves to "xla" — flip on bench evidence only
+    # (tools/bench_pyramid.py).
+    pyramid_impl: str = "auto"
+    # Auction assignment implementation: "auto" | "pallas" | "xla"
+    # (kernels/auction.py whole-solve-in-VMEM kernel vs
+    # ops/assignment.py's lax.while_loop over HBM state).  "auto"
+    # currently resolves to "xla" — flip only on bench evidence
+    # (tools/bench_auction.py); the kernel is covered on CPU via
+    # interpret mode in tests either way.
+    assign_impl: str = "auto"
 
     # Emit only confirmed tracks seen (matched) within this many frames
     # (SORT emits time_since_update < 1; large value = emit all confirmed
@@ -216,6 +239,11 @@ class TrackerConfig:
             raise ValueError(f"unknown roi_impl {self.roi_impl!r}")
         if self.kcf_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown kcf_impl {self.kcf_impl!r}")
+        if self.assign_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown assign_impl {self.assign_impl!r}")
+        if self.pyramid_impl not in ("auto", "fused", "xla"):
+            raise ValueError(
+                f"unknown pyramid_impl {self.pyramid_impl!r}")
         if self.kcf_precision not in ("highest", "default"):
             raise ValueError(
                 f"unknown kcf_precision {self.kcf_precision!r} "

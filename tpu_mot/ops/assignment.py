@@ -58,15 +58,71 @@ def auction_assign(cost: jnp.ndarray, feasible: jnp.ndarray,
 
 
 def auction_assign_stats(cost: jnp.ndarray, feasible: jnp.ndarray,
-                         eps: float = DEFAULT_EPS, max_iters: int = 2000
+                         eps: float = DEFAULT_EPS, max_iters: int = 2000,
+                         impl: str = "xla"
                          ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """auction_assign plus observability: returns (row_to_col [N] int32,
-    iters [] int32, converged [] bool)."""
+    iters [] int32, converged [] bool).
+
+    impl: "xla" (lax.while_loop over HBM state) or "pallas" (the whole
+    solve in one VMEM-resident kernel, kernels/auction.py).  Both run the
+    same gap-bidding auction; per-frame results agree up to tie-breaks at
+    degenerate optima (total cost asserted equal in tests).
+    """
+    if impl == "pallas":
+        return _auction_assign_stats_pallas(cost, feasible, eps, max_iters)
     n = max(cost.shape) if cost.size else 0
     out = auction_assign_warm(
         cost, feasible, jnp.zeros((n,), jnp.float32),
         jnp.full((n,), -1, jnp.int32), eps, max_iters)
     return out[0], out[1], out[2]
+
+
+def build_benefits(cost: jnp.ndarray, feasible: jnp.ndarray,
+                   eps: float) -> jnp.ndarray:
+    """Squared benefit matrix [n, n] (n = max(N, M)) shared by the XLA and
+    Pallas solvers: feasible costs map to benefits in [1, 1+COST_CAP],
+    infeasible pairs to _NEG, dead rows to neutral 0 filler, dummies pad
+    at 0, and a row/column tie-break jitter << eps is added."""
+    n_rows, m_cols = cost.shape
+    n = max(n_rows, m_cols)
+    b = jnp.where(feasible,
+                  jnp.clip(COST_CAP - cost, 0.0, COST_CAP) + 1.0,
+                  _NEG)
+    row_dead = ~jnp.any(feasible, axis=1)
+    b = jnp.where(row_dead[:, None], 0.0, b)               # neutral filler
+    b = jnp.pad(b, ((0, n - n_rows), (0, n - m_cols)))     # dummies = 0
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return b + ((ri * 7 + ci * 13) % 29).astype(jnp.float32) * (
+        0.25 * eps / 29.0)
+
+
+def strip_to_rows(col_of: jnp.ndarray, feasible: jnp.ndarray,
+                  n_rows: int, m_cols: int) -> jnp.ndarray:
+    """Squared-problem solution [n] → per-row matches [n_rows] (-1 for
+    dummy columns / infeasible pairs)."""
+    col_of = col_of[:n_rows]
+    matched_real = (col_of >= 0) & (col_of < m_cols)
+    ok = matched_real & jnp.take_along_axis(
+        feasible, jnp.clip(col_of, 0, m_cols - 1)[:, None], axis=1)[:, 0]
+    return jnp.where(ok, col_of, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "max_iters"))
+def _auction_assign_stats_pallas(cost, feasible, eps=DEFAULT_EPS,
+                                 max_iters: int = 2000):
+    from tpu_mot.kernels import auction as auction_k
+
+    n_rows, m_cols = cost.shape
+    if n_rows == 0 or m_cols == 0:
+        return (jnp.full((n_rows,), -1, jnp.int32), jnp.int32(0),
+                jnp.bool_(True))
+    b = build_benefits(cost, feasible, eps)
+    col_of, iters = auction_k.auction_solve_pallas(b, eps, max_iters)
+    converged = jnp.all(col_of >= 0)
+    return (strip_to_rows(col_of, feasible, n_rows, m_cols), iters,
+            converged)
 
 
 @functools.partial(jax.jit,
@@ -135,17 +191,10 @@ def auction_assign_warm(
             f"init_prices/init_col_of must be [{n}] (squared problem "
             f"size), got {init_prices.shape}/{init_col_of.shape}")
 
-    b = jnp.where(feasible,
-                  jnp.clip(COST_CAP - cost, 0.0, COST_CAP) + 1.0,
-                  _NEG)
-    row_dead = ~jnp.any(feasible, axis=1)
-    b = jnp.where(row_dead[:, None], 0.0, b)               # neutral filler
-    b = jnp.pad(b, ((0, n - n_rows), (0, n - m_cols)))     # dummies = 0
-    # Row-dependent tie-breaker << eps: identical rows (dummy/dead blocks)
-    # otherwise all bid the same column each round and serialize.
-    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    b = b + ((ri * 7 + ci * 13) % 29).astype(jnp.float32) * (0.25 * eps / 29.0)
+    # Benefits incl. the row-dependent tie-breaker << eps (identical
+    # rows — dummy/dead blocks — otherwise all bid the same column each
+    # round and serialize); shared with the Pallas kernel path.
+    b = build_benefits(cost, feasible, eps)
 
     def cond(state):
         _, col_of, _, it = state
@@ -281,13 +330,8 @@ def auction_assign_warm(
     converged = jnp.all(col_of >= 0)
 
     # Keep real rows only; strip dummy columns and infeasible matches.
-    carry_col_of = col_of
-    col_of = col_of[:n_rows]
-    matched_real = (col_of >= 0) & (col_of < m_cols)
-    ok = matched_real & jnp.take_along_axis(
-        feasible, jnp.clip(col_of, 0, m_cols - 1)[:, None], axis=1)[:, 0]
-    return (jnp.where(ok, col_of, -1).astype(jnp.int32), iters, converged,
-            prices, carry_col_of)
+    return (strip_to_rows(col_of, feasible, n_rows, m_cols), iters,
+            converged, prices, col_of)
 
 
 def scipy_assign(cost: np.ndarray, feasible: np.ndarray) -> np.ndarray:

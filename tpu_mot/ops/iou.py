@@ -36,14 +36,17 @@ def association_cost(track_boxes: jnp.ndarray, det_boxes: jnp.ndarray,
                      track_valid: jnp.ndarray, det_valid: jnp.ndarray,
                      iou_gate: float, infeasible: float,
                      appearance: jnp.ndarray | None = None,
-                     appearance_weight: float = 0.0) -> jnp.ndarray:
+                     appearance_weight: float = 0.0,
+                     class_gate: jnp.ndarray | None = None) -> jnp.ndarray:
     """Gated cost matrix [T, D].
 
     cost = (1-w)*(1 - IoU) + w*(1 - appearance); pairs below the IoU gate,
     or involving a dead track slot / padded detection, get `infeasible`.
     `appearance` is an optional [T, D] similarity in [0, 1] (e.g. the KCF
     response of track t's model at detection d — the reference blends IoU
-    with appearance per BASELINE.json north star)."""
+    with appearance per BASELINE.json north star).  `class_gate` is an
+    optional [T, D] bool mask; False pairs (class mismatch under
+    cfg.class_aware) are gated infeasible like a failed IoU gate."""
     iou = pairwise_iou(track_boxes, det_boxes)
     cost = 1.0 - iou
     if appearance is not None and appearance_weight > 0.0:
@@ -51,4 +54,6 @@ def association_cost(track_boxes: jnp.ndarray, det_boxes: jnp.ndarray,
                 + appearance_weight * (1.0 - jnp.clip(appearance, 0.0, 1.0)))
     feasible = ((iou >= iou_gate)
                 & track_valid[:, None] & det_valid[None, :])
+    if class_gate is not None:
+        feasible = feasible & class_gate
     return jnp.where(feasible, cost, infeasible)

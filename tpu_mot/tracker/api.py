@@ -19,21 +19,26 @@ from tpu_mot.tracker.bank import TrackBank, empty_bank
 
 
 def pad_detections(dets, capacity: int):
-    """[N, 4|5] array-like → ([capacity, 5], [capacity] valid mask)."""
+    """[N, 4|5|6] array-like → ([capacity, 5|6], [capacity] valid mask).
+
+    A 6th column is a detector class id (cfg.class_aware); it is kept iff
+    the input carries it, so 5-column callers keep their exact traces.
+    """
     dets = np.asarray(dets, np.float32)
     if dets.size == 0:
-        dets = dets.reshape(0, 5)
+        dets = dets.reshape(0, dets.shape[-1] if dets.ndim == 2 else 5)
     if dets.ndim == 1:
         # A bare [cx, cy, w, h(, score)] is one detection — without this
         # the row broadcast below would fabricate 4-5 phantom copies.
         dets = dets.reshape(1, -1)
     n = min(len(dets), capacity)
-    out = np.zeros((capacity, 5), np.float32)
+    width = 6 if dets.shape[-1] >= 6 else 5
+    out = np.zeros((capacity, width), np.float32)
     if dets.shape[-1] == 4:
         out[:n, :4] = dets[:n]
         out[:n, 4] = 1.0
     else:
-        out[:n] = dets[:n, :5]
+        out[:n] = dets[:n, :width]
     valid = np.zeros((capacity,), bool)
     valid[:n] = True
     return out, valid

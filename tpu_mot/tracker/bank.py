@@ -36,6 +36,9 @@ class TrackBank(NamedTuple):
     time_since_update: jnp.ndarray  # [T] int32 frames since last detection
     age: jnp.ndarray          # [T] int32 frames since birth
     score: jnp.ndarray        # [T] float32 last confidence
+    cls: jnp.ndarray          # [T] int32 detector class the track was born
+                              # with (0 when detections carry no classes;
+                              # -1 for empty slots)
     auction_prices: jnp.ndarray  # [max(T, D)] float32 — carried column
                               # prices that warm-start the next frame's
                               # auction (ops/assignment.auction_assign_warm);
@@ -78,6 +81,7 @@ def empty_bank(cfg: TrackerConfig) -> TrackBank:
         time_since_update=jnp.zeros((t,), jnp.int32),
         age=jnp.zeros((t,), jnp.int32),
         score=jnp.zeros((t,), jnp.float32),
+        cls=jnp.full((t,), -1, jnp.int32),
         auction_prices=jnp.zeros(
             (max(t, cfg.max_detections),), jnp.float32),
         auction_col_of=jnp.full(

@@ -48,6 +48,8 @@ class StepOutput(NamedTuple):
     scores: jnp.ndarray       # [T] float32
     valid: jnp.ndarray        # [T] bool — confirmed tracks this frame
     matched_det: jnp.ndarray  # [T] int32 det index or -1
+    cls: jnp.ndarray          # [T] int32 track class (0 when detections
+                              # carry no class column; -1 empty slots)
     # Observability counters (SURVEY.md §5 metrics): fetched cheaply.
     n_alive: jnp.ndarray      # [] int32
     n_births: jnp.ndarray     # [] int32
@@ -108,7 +110,9 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     """One frame: returns (new bank, outputs).
 
     frame     : [H, W] / [H, W, 3] image (uint8 or float).
-    dets      : [D, 5] (cx, cy, w, h, score), padded to static D.
+    dets      : [D, 5] (cx, cy, w, h, score) — or [D, 6] with a detector
+                class id as column 5 (see cfg.class_aware) — padded to
+                static D.
     det_valid : [D] bool for real detections.
     """
     t_cap = cfg.max_tracks
@@ -136,7 +140,11 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             # float frames go through the luma conversion as before.
             pyr_src = (frame if (frame.ndim == 2
                                  and frame.dtype == jnp.uint8) else gray)
-            levels = _roi.build_pyramid(pyr_src)
+            if cfg.pyramid_impl == "fused":
+                from tpu_mot.kernels import pyramid as _pyr
+                levels = _pyr.build_pyramid_fused(pyr_src)
+            else:                       # "xla" / "auto" (pending bench)
+                levels = _roi.build_pyramid(pyr_src)
         else:
             levels = None
     else:
@@ -144,6 +152,11 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     alive = bank.state > EMPTY
     det_valid = det_valid & (dets[:, 4] >= cfg.det_score_min)
     det_boxes = dets[:, :4]
+    # Optional class column (static shape switch — [D, 5] vs [D, 6] trace
+    # as different programs, so this costs nothing at runtime).
+    det_cls = (jnp.round(dets[:, 5]).astype(jnp.int32)
+               if dets.shape[1] >= 6 else jnp.zeros(
+                   (dets.shape[0],), jnp.int32))
 
     # ---- 1. Kalman predict -------------------------------------------
     kf_mean, kf_cov = kalman.predict(bank.kf_mean, bank.kf_cov, cfg.kalman)
@@ -260,10 +273,16 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             appearance = appearance * (bank.age != 1)[:, None]
     else:
         appearance = None
+    # Class gate (cfg.class_aware): a track only matches detections of
+    # its birth class.  Slots with cls < 0 (empty — already masked by
+    # `alive`) pass trivially so the gate never interacts with recycling.
+    class_gate = ((bank.cls[:, None] == det_cls[None, :])
+                  | (bank.cls[:, None] < 0)) if cfg.class_aware else None
     cost = iou_ops.association_cost(
         refined, det_boxes, alive, det_valid,
         cfg.iou_gate, cfg.cost_infeasible,
-        appearance=appearance, appearance_weight=cfg.appearance_weight)
+        appearance=appearance, appearance_weight=cfg.appearance_weight,
+        class_gate=class_gate)
     feasible = cost < cfg.cost_infeasible * 0.5
 
     # ---- 4. Assignment -----------------------------------------------
@@ -280,8 +299,11 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             cost, feasible, bank.auction_prices,
             bank.auction_col_of)                                 # [T]
     else:
+        impl = cfg.assign_impl
+        if impl == "auto":
+            impl = "xla"        # flip on bench evidence only
         matched_det, assign_iters, assign_conv = auction_assign_stats(
-            cost, feasible)                                      # [T]
+            cost, feasible, impl=impl)                           # [T]
         new_prices = bank.auction_prices
         new_col_of = bank.auction_col_of
     is_matched = matched_det >= 0
@@ -349,6 +371,10 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     ids = jnp.where(state == EMPTY, -1, ids)
     score = jnp.where(is_birth, dets[bdet, 4], bank.score)
     score = jnp.where(is_matched, dets[det_idx, 4], score)
+    # Birth class sticks for the track's lifetime (under class_aware the
+    # gate makes every later match agree anyway); empty slots read -1.
+    cls = jnp.where(is_birth, det_cls[bdet], bank.cls)
+    cls = jnp.where(state == EMPTY, -1, cls)
     next_id = bank.next_id + n_births
 
     # ---- 8. Bank-wide KCF retrain ------------------------------------
@@ -413,7 +439,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     new_bank = TrackBank(
         kf_mean=kf_mean, kf_cov=kf_cov, kcf=kcf_model, ids=ids,
         state=state, hits=hits, time_since_update=tsu, age=age,
-        score=score, auction_prices=new_prices,
+        score=score, cls=cls, auction_prices=new_prices,
         auction_col_of=new_col_of, next_id=next_id,
         frame_idx=bank.frame_idx + 1)
 
@@ -423,6 +449,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         scores=score,
         valid=((state == CONFIRMED) & (tsu <= cfg.output_max_tsu)),
         matched_det=matched_det,
+        cls=cls,
         n_alive=jnp.sum((state > EMPTY).astype(jnp.int32)),
         n_births=n_births,
         n_deaths=n_deaths,

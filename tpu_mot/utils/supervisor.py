@@ -113,6 +113,7 @@ class StreamSupervisor:
                         scores=np.zeros((t,), np.float32),
                         valid=np.zeros((t,), bool),
                         matched_det=np.full((t,), -1, np.int32),
+                        cls=np.full((t,), -1, np.int32),
                         n_alive=np.int32(0), n_births=np.int32(0),
                         n_deaths=np.int32(0), n_matches=np.int32(0),
                         assign_iters=np.int32(0),
