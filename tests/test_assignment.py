@@ -263,3 +263,82 @@ def test_warm_start_bank_carry_in_step():
     mc.init(frame, np.asarray([[32, 32, 10, 10, 1.0]], np.float32))
     mc.update(frame, np.asarray([[33, 32, 10, 10, 1.0]], np.float32))
     assert not np.asarray(mc.bank.auction_prices).any()
+
+
+def test_pallas_kernel_matches_xla_and_scipy():
+    """kernels/auction.py (interpret mode on CPU): same cardinality and
+    eps-optimal total cost as scipy at MOT shapes, agreeing with the XLA
+    while_loop formulation up to degenerate-tie reshuffles."""
+    rng = np.random.default_rng(7)
+    for n, m in [(8, 8), (16, 11), (5, 20), (1, 1), (128, 160)]:
+        if (n, m) == (128, 160):
+            tracks = rng.uniform(50, 1800, (n, 4)).astype(np.float32)
+            tracks[:, 1] = rng.uniform(50, 1000, n)
+            tracks[:, 2:] = rng.uniform(24, 64, (n, 2))
+            dets = np.concatenate(
+                [tracks[:100] + rng.normal(0, 3, (100, 4)),
+                 rng.uniform(50, 1000, (m - 100, 4))]).astype(np.float32)
+            cost = np.asarray(iou.association_cost(
+                jnp.asarray(tracks), jnp.asarray(dets),
+                jnp.ones((n,), bool), jnp.ones((m,), bool),
+                iou_gate=0.1, infeasible=1e4)).astype(np.float32)
+            feasible = cost < 1e3
+        else:
+            cost = rng.uniform(0, 1, (n, m)).astype(np.float32)
+            feasible = rng.random((n, m)) < 0.8
+        got, iters, conv = assignment.auction_assign_stats(
+            jnp.asarray(cost), jnp.asarray(feasible), impl="pallas")
+        got = np.asarray(got)
+        assert bool(conv), (n, m)
+        want = assignment.scipy_assign(cost, feasible)
+        assert (got >= 0).sum() == (want >= 0).sum(), (n, m)
+        got_cost = assignment.assignment_cost(cost, got)
+        want_cost = assignment.assignment_cost(cost, want)
+        nn = max(n, m)
+        assert got_cost <= want_cost + nn * assignment.DEFAULT_EPS + 1e-4, (
+            (n, m), got_cost, want_cost)
+        # Feasibility of every returned match.
+        for r, c in enumerate(got):
+            if c >= 0:
+                assert feasible[r, c], (n, m, r, c)
+
+
+def test_pallas_kernel_all_infeasible_and_dead_rows():
+    cost = np.ones((6, 4), np.float32)
+    feasible = np.zeros((6, 4), bool)
+    got, _, conv = assignment.auction_assign_stats(
+        jnp.asarray(cost), jnp.asarray(feasible), impl="pallas")
+    assert bool(conv)
+    assert (np.asarray(got) == -1).all()
+    # One live row among dead ones.
+    feasible[3, 2] = True
+    cost[3, 2] = 0.1
+    got = np.asarray(assignment.auction_assign_stats(
+        jnp.asarray(cost), jnp.asarray(feasible), impl="pallas")[0])
+    assert got[3] == 2 and (np.delete(got, 3) == -1).all()
+
+
+def test_step_assign_impl_pallas_equals_xla():
+    """The full tracker step with assign_impl='pallas' (interpret on CPU)
+    matches the XLA-auction step's ids/boxes on a synthetic sequence."""
+    from tpu_mot.config import TrackerConfig
+    from tpu_mot.data import synthetic
+    from tpu_mot.tracker import scan
+
+    rng = np.random.default_rng(3)
+    objs = synthetic.make_objects(6, 120, 160, rng, max_speed=2.0)
+    frames, boxes, vis = synthetic.render_sequence(objs, 10, 120, 160,
+                                                   seed=3)
+    dets = synthetic.detections_from_gt(boxes, vis, seed=3,
+                                        frame_hw=(120, 160))
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = TrackerConfig(max_tracks=16, max_detections=8,
+                            frame_height=120, frame_width=160,
+                            roi_impl="xla", assign_impl=impl)
+        _, _, out = scan.track_sequence(frames, dets, cfg)
+        outs[impl] = out
+    np.testing.assert_array_equal(outs["xla"].ids, outs["pallas"].ids)
+    np.testing.assert_array_equal(outs["xla"].valid, outs["pallas"].valid)
+    np.testing.assert_allclose(outs["xla"].boxes, outs["pallas"].boxes,
+                               rtol=0, atol=1e-4)

@@ -328,7 +328,7 @@ def _scales_kernel(lvl_ref, r0_ref, c0_ref, ys_ref, xs_ref,
 def extract_patches_scales_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
                                   padding: float, size: int,
                                   scale_vals: tuple,
-                                  interpret: bool = False,
+                                  interpret: bool | None = None,
                                   levels=None, frame_hw=None,
                                   dtype=None,
                                   tracks_per_prog: int | None = None,
@@ -346,6 +346,8 @@ def extract_patches_scales_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
     (quality asserted by the bench MOTA gate; exactness tested for
     non-straddling tracks in tests/test_roi_kernel.py).
     """
+    if interpret is None:      # interpret-auto: CPU tier runs the
+        interpret = jax.default_backend() == "cpu"  # kernel in interpret mode
     t_cap = boxes.shape[0]
     k_sc = len(scale_vals)
     if levels is None:
@@ -445,7 +447,7 @@ def _sample_coords(boxes, padding, size, scales):
 def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
                            padding: float, size: int,
                            scales: jnp.ndarray | None = None,
-                           interpret: bool = False,
+                           interpret: bool | None = None,
                            levels=None, frame_hw=None,
                            dtype=None, tracks_per_prog: int | None = None,
                            n_buffers: int | None = None,
@@ -460,6 +462,8 @@ def extract_patches_pallas(gray: jnp.ndarray, boxes: jnp.ndarray,
     the once-per-frame reduction across extraction sites — rebuilding it
     per call costs ~2.7 ms at 1080p vs ~0.03 ms for the kernel itself.
     """
+    if interpret is None:      # interpret-auto: CPU tier runs the
+        interpret = jax.default_backend() == "cpu"  # kernel in interpret mode
     t_cap = boxes.shape[0]
     if levels is None:
         h, w = gray.shape
