@@ -139,3 +139,49 @@ def test_crossing_targets_keep_class_consistent_ids():
         for i in np.where(np.asarray(o.valid))[0]:
             assert id_by_cls[int(cls[i])] == int(ids[i]), (
                 f"id/class pairing broke at t={t}")
+
+
+def test_strided_detector_class_aware():
+    """The strided lowerings carry the detector class column when
+    cfg.class_aware: both the grouped (cond-free) and per-frame-cond
+    forms must equal run_sequence fed the explicit 6-column detections,
+    and the batched chunked-serving form must match the streaming one."""
+    from tpu_mot.models.detector import YoloDetector, detect_batch
+    from tpu_mot.models.yolo import YoloSpec
+    from tpu_mot.tracker import bank as bank_mod
+    from tpu_mot.tracker import scan
+
+    spec = YoloSpec("yolov2-tiny", num_classes=3, input_size=64)
+    det = YoloDetector.random_init(spec, max_out=8, score_thr=0.2)
+    cfg = _cfg(class_aware=True, frame_height=96, frame_width=128)
+    rng = np.random.default_rng(5)
+    frames7 = jnp.asarray(rng.random((7, 96, 128)).astype(np.float32))
+    stride = 3
+    for n in (6, 7):              # grouped lowering / lax.cond lowering
+        frames = frames7[:n]
+        bank0 = bank_mod.empty_bank(cfg)
+        _, out_strided = scan.run_sequence_strided_detector(
+            bank0, frames, det.params, cfg, spec, stride, score_thr=0.2)
+
+        d, v, c = detect_batch(det.params, frames, spec, (96, 128), 8,
+                               0.45, 0.2)
+        d6 = np.asarray(dets_with_classes(d, c))
+        mask = (np.arange(n) % stride) == 0
+        d6 = d6 * mask[:, None, None]
+        v = np.asarray(v) & mask[:, None]
+        _, out_ref = scan.run_sequence(bank0, frames, jnp.asarray(d6),
+                                       jnp.asarray(v), cfg)
+        np.testing.assert_array_equal(np.asarray(out_strided.ids),
+                                      np.asarray(out_ref.ids))
+        np.testing.assert_array_equal(np.asarray(out_strided.cls),
+                                      np.asarray(out_ref.cls))
+        np.testing.assert_allclose(np.asarray(out_strided.boxes),
+                                   np.asarray(out_ref.boxes), atol=0.05)
+        if n % stride == 0:
+            _, out_b = scan.run_sequence_strided_batched(
+                bank0, frames, det.params, cfg, spec, stride,
+                score_thr=0.2)
+            np.testing.assert_array_equal(np.asarray(out_b.ids),
+                                          np.asarray(out_strided.ids))
+            np.testing.assert_array_equal(np.asarray(out_b.cls),
+                                          np.asarray(out_strided.cls))

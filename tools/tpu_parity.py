@@ -270,6 +270,68 @@ def check_kcf():
     return results
 
 
+def check_pyramid():
+    """Compiled fused pyramid kernel (kernels/pyramid.py) vs the XLA
+    reduce_window chain: u8 bit-parity at 1080p AND at an odd small size
+    (grid-exact output slicing — Pallas clamps out-of-range block
+    indices; the r3 clobbering bug only showed off the 1080p shape)."""
+    from tpu_mot.kernels import pyramid as pyr_k
+    from tpu_mot.kernels import roi as roi_k
+
+    results = {}
+    rng = np.random.default_rng(3)
+    for h, w in [(1080, 1920), (543, 961)]:
+        frame = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+        ref = [np.asarray(x) for x in roi_k.build_pyramid(frame)]
+        got = [np.asarray(x) for x in pyr_k.build_pyramid_fused(frame)]
+        lh, lw = h, w
+        for lv, (r, g) in enumerate(zip(ref, got)):
+            assert r.shape == g.shape, (h, w, lv)
+            np.testing.assert_array_equal(g[:lh, :lw], r[:lh, :lw],
+                                          err_msg=f"{h}x{w} lv{lv}")
+            assert not g[lh:].any() and not g[:, lw:].any(), (h, w, lv)
+            lh, lw = -(-lh // 2), -(-lw // 2)
+        results[f"pyramid u8 bit-parity {h}x{w} (levels)"] = float(
+            len(ref))
+    return results
+
+
+def check_auction():
+    """Compiled whole-solve auction kernel (kernels/auction.py) vs scipy
+    optimal and the XLA while_loop formulation at the bench shape."""
+    from tpu_mot.ops import assignment, iou as iou_ops
+
+    t_cap, d_cap = 128, 160
+    results = {}
+    worst = 0.0
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        tracks = r.uniform(50, 1800, (t_cap, 4)).astype(np.float32)
+        tracks[:, 1] = r.uniform(50, 1000, t_cap)
+        tracks[:, 2:] = r.uniform(24, 64, (t_cap, 2))
+        dets = np.concatenate(
+            [tracks[:110] + r.normal(0, 4, (110, 4)),
+             r.uniform(50, 1000, (50, 4))]).astype(np.float32)
+        cost = np.asarray(iou_ops.association_cost(
+            jnp.asarray(tracks), jnp.asarray(dets),
+            jnp.ones((t_cap,), bool), jnp.ones((d_cap,), bool),
+            iou_gate=0.1, infeasible=1e4)).astype(np.float32)
+        feas = cost < 1e3
+        want = assignment.scipy_assign(cost, feas)
+        for impl in ("xla", "pallas"):
+            got, _, conv = assignment.auction_assign_stats(
+                jnp.asarray(cost), jnp.asarray(feas), impl=impl)
+            got = np.asarray(got)
+            assert bool(conv), (seed, impl)
+            assert (got >= 0).sum() == (want >= 0).sum(), (seed, impl)
+            gap = float(assignment.assignment_cost(cost, got)
+                        - assignment.assignment_cost(cost, want))
+            assert gap <= 0.05, (seed, impl, gap)
+            worst = max(worst, gap)
+    results["auction compiled eps-optimality gap vs scipy (worst)"] = worst
+    return results
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev}")
@@ -279,7 +341,8 @@ def main():
               "CPU lowering, which may not exist). Aborting.")
         return 2
     all_results = {}
-    for name, fn in [("roi", check_roi), ("kcf", check_kcf)]:
+    for name, fn in [("roi", check_roi), ("kcf", check_kcf),
+                     ("pyramid", check_pyramid), ("auction", check_auction)]:
         res = fn()
         all_results.update(res)
         for k, v in res.items():

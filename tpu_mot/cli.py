@@ -279,10 +279,6 @@ def cmd_video(args) -> int:
     if frames.size == 0:
         print(f"could not read {args.input}", file=sys.stderr)
         return 1
-    if getattr(args, "class_aware", False) and args.det_stride > 1:
-        print("--class-aware requires --det-stride 1 (the strided scan "
-              "builds 5-column detections on device)", file=sys.stderr)
-        return 2
     h, w = frames.shape[1:3]
     spec = YoloSpec(args.model, num_classes=args.classes)
     if args.weights:
@@ -390,8 +386,7 @@ def main(argv=None) -> int:
                         "detector frames — SURVEY §3.2 strided mode)")
     p.add_argument("--class-aware", action="store_true", default=None,
                    help="gate association by detector class (tracks only "
-                        "match detections of their birth class); "
-                        "incompatible with --det-stride > 1")
+                        "match detections of their birth class)")
     p.set_defaults(fn=cmd_video)
 
     args = ap.parse_args(argv)

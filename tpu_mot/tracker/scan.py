@@ -107,17 +107,26 @@ def run_sequence_strided_detector(bank, frames: jnp.ndarray, params,
     hw = (cfg.frame_height, cfg.frame_width)
     n = frames.shape[0]
 
+    # Under cfg.class_aware the detector's class ids ride as a 6th
+    # column so the tracker's class gate sees them (tracker.step).
+    w_cols = 6 if cfg.class_aware else 5
+
+    def with_cls(d, c):
+        from tpu_mot.models.detector import dets_with_classes
+        return dets_with_classes(d, c) if cfg.class_aware else d
+
     def empty_dets():
-        return (jnp.zeros((d_cap, 5), jnp.float32),
+        return (jnp.zeros((d_cap, w_cols), jnp.float32),
                 jnp.zeros((d_cap,), bool))
 
     if stride > 1 and n % stride == 0:
         groups = frames.reshape((n // stride, stride) + frames.shape[1:])
 
         def gbody(b, gframes):
-            d, v, _ = detect_batch(params, gframes[0][None], spec, hw,
+            d, v, c = detect_batch(params, gframes[0][None], spec, hw,
                                    d_cap, iou_thr, score_thr,
                                    nms_impl=nms_impl)
+            d = with_cls(d, c)
             b, out0 = step_mod.step(b, gframes[0], d[0], v[0], cfg)
             outs = [out0]
             ed, ev = empty_dets()
@@ -135,9 +144,9 @@ def run_sequence_strided_detector(bank, frames: jnp.ndarray, params,
         b, i = carry
 
         def with_det(_):
-            d, v, _ = detect_batch(params, frame[None], spec, hw, d_cap,
+            d, v, c = detect_batch(params, frame[None], spec, hw, d_cap,
                                    iou_thr, score_thr, nms_impl=nms_impl)
-            return d[0], v[0]
+            return with_cls(d, c)[0], v[0]
 
         d, v = jax.lax.cond(i % stride == 0, with_det,
                             lambda _: empty_dets(), None)
@@ -174,11 +183,14 @@ def run_sequence_strided_batched(bank, frames: jnp.ndarray, params,
     n = frames.shape[0]
     d_cap = cfg.max_detections
     det_frames = frames[::stride]
-    d, v, _ = detect_batch(params, det_frames, spec,
+    d, v, c = detect_batch(params, det_frames, spec,
                            (cfg.frame_height, cfg.frame_width), d_cap,
                            iou_thr, score_thr, nms_impl=nms_impl)
+    if cfg.class_aware:
+        from tpu_mot.models.detector import dets_with_classes
+        d = dets_with_classes(d, c)
     idx = jnp.arange(0, n, stride)
-    dets = jnp.zeros((n, d_cap, 5), jnp.float32).at[idx].set(d)
+    dets = jnp.zeros((n, d_cap, d.shape[-1]), jnp.float32).at[idx].set(d)
     valid = jnp.zeros((n, d_cap), bool).at[idx].set(v)
     return run_sequence(bank, frames, dets, valid, cfg)
 
