@@ -229,3 +229,48 @@ def test_multistream_strided_equality(ndev):
         np.testing.assert_allclose(np.asarray(out.boxes),
                                    np.asarray(out_ref.boxes), atol=0.05,
                                    err_msg=tag)
+
+
+def test_multistream_strided_class_aware(ndev):
+    """Class-aware multistream serving: both detector modes (DP and
+    shared all-gather batch) must carry the detector class column and
+    equal multi_stream_sequence fed explicit 6-col detections."""
+    from tpu_mot.models.detector import (YoloDetector, detect_batch,
+                                         dets_with_classes)
+
+    spec = YoloSpec("yolov2-tiny", num_classes=3, input_size=64)
+    det = YoloDetector.random_init(spec, max_out=8, score_thr=0.2)
+    cfg = TrackerConfig(max_tracks=8, max_detections=8, frame_height=96,
+                        frame_width=128, roi_impl="xla", class_aware=True)
+    m = mesh_mod.stream_mesh(ndev)
+    n, stride = 6, 3
+    frames = jnp.asarray(np.random.default_rng(7).random(
+        (n, ndev, 96, 128)).astype(np.float32))     # time-major [T, S]
+
+    def detect_fn(params, fr):
+        return detect_batch(params, fr, spec, (96, 128), 8, 0.45, 0.2)
+
+    d, v, c = detect_batch(det.params, frames.reshape(-1, 96, 128), spec,
+                           (96, 128), 8, 0.45, 0.2)
+    d6 = np.asarray(dets_with_classes(d, c)).reshape(n, ndev, 8, 6)
+    v = np.asarray(v).reshape(n, ndev, 8)
+    mask = (np.arange(n) % stride) == 0
+    d6 = d6 * mask[:, None, None, None]
+    v = v & mask[:, None, None]
+    banks0 = serve.make_stream_banks(ndev, cfg, m)
+    _, out_ref = serve.multi_stream_sequence(
+        banks0, jnp.swapaxes(frames, 0, 1),
+        jnp.asarray(np.swapaxes(d6, 0, 1)),
+        jnp.asarray(np.swapaxes(v, 0, 1)), cfg)
+
+    for mesh in (None, m):
+        _, out = serve.multi_stream_sequence_strided(
+            det.params, banks0, frames, cfg, detect_fn, stride, mesh=mesh)
+        tag = "shared" if mesh is not None else "dp"
+        np.testing.assert_array_equal(np.asarray(out.ids),
+                                      np.asarray(out_ref.ids), err_msg=tag)
+        np.testing.assert_array_equal(np.asarray(out.cls),
+                                      np.asarray(out_ref.cls), err_msg=tag)
+        np.testing.assert_allclose(np.asarray(out.boxes),
+                                   np.asarray(out_ref.boxes), atol=0.05,
+                                   err_msg=tag)

@@ -38,6 +38,15 @@ def make_stream_banks(n_streams: int, cfg: TrackerConfig, mesh: Mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _fold_classes(dets, classes, cfg: TrackerConfig):
+    """Append the detector class column under cfg.class_aware (the [.., 6]
+    detection form tracker.step's class gate consumes)."""
+    if not cfg.class_aware:
+        return dets
+    from tpu_mot.models.detector import dets_with_classes
+    return dets_with_classes(dets, classes)
+
+
 def multi_stream_step(banks, frames: jnp.ndarray, dets: jnp.ndarray,
                       det_valid: jnp.ndarray, cfg: TrackerConfig):
     """One tracking frame for every stream.
@@ -96,13 +105,15 @@ def multi_stream_sequence_strided(detector_params, banks, frames,
 
     def head_dets(gframes0):
         if mesh is None:
-            d, v, _ = detect_fn(detector_params, gframes0)
-            return d, v
+            d, v, c = detect_fn(detector_params, gframes0)
+            return _fold_classes(d, c, cfg), v
         return shared_detector_detect(detector_params, gframes0, mesh,
-                                      detect_fn)
+                                      detect_fn,
+                                      with_classes=cfg.class_aware)
 
     groups = frames.reshape((n // stride, stride) + frames.shape[1:])
-    empty_d = jnp.zeros((s_streams, d_cap, 5), jnp.float32)
+    empty_d = jnp.zeros((s_streams, d_cap, 6 if cfg.class_aware else 5),
+                        jnp.float32)
     empty_v = jnp.zeros((s_streams, d_cap), bool)
 
     def gbody(b, gframes):
@@ -132,12 +143,13 @@ def detect_then_track_step(detector_params, banks, frames, cfg,
     axis (one batched conv program — XLA keeps it local per shard), then
     each shard's tracker consumes its own detections.  Zero collectives.
     """
-    dets, valid, _ = detect_fn(detector_params, frames)
-    return multi_stream_step(banks, frames, dets, valid, cfg)
+    dets, valid, cls = detect_fn(detector_params, frames)
+    return multi_stream_step(banks, frames, _fold_classes(dets, cls, cfg),
+                             valid, cfg)
 
 
 def shared_detector_detect(detector_params, frames, mesh: Mesh,
-                           detect_fn):
+                           detect_fn, with_classes: bool = False):
     """The shared-detector batch of BASELINE configs[4] / SURVEY §3.5:
 
         all-gather frames  →  ONE batched YOLO forward  →  scatter dets
@@ -152,14 +164,19 @@ def shared_detector_detect(detector_params, frames, mesh: Mesh,
     alternative.  Numerically identical to the DP mode — asserted in
     tests/test_parallel.py on the 8-virtual-CPU mesh.
 
-    detect_fn(params, frames[B,H,W(,3)]) → (dets [B,D,5], valid [B,D], _).
-    Returns (dets, valid) stream-sharded like `frames`.
+    detect_fn(params, frames[B,H,W(,3)]) → (dets [B,D,5], valid [B,D],
+    classes [B,D]).  Returns (dets, valid) stream-sharded like `frames`;
+    with_classes=True appends the class column ([B,D,6] — the
+    cfg.class_aware detection form) before the scatter.
     """
     def shard_fn(params, frames_local):
         k = frames_local.shape[0]             # streams per shard (static)
         all_frames = jax.lax.all_gather(frames_local, "stream", axis=0,
                                         tiled=True)
-        dets, valid, _ = detect_fn(params, all_frames)
+        dets, valid, cls = detect_fn(params, all_frames)
+        if with_classes:
+            from tpu_mot.models.detector import dets_with_classes
+            dets = dets_with_classes(dets, cls)
         i = jax.lax.axis_index("stream")
         my_dets = jax.lax.dynamic_slice_in_dim(dets, i * k, k, 0)
         my_valid = jax.lax.dynamic_slice_in_dim(valid, i * k, k, 0)
@@ -181,7 +198,8 @@ def detect_then_track_step_shared(detector_params, banks, frames, cfg,
                                   mesh: Mesh, detect_fn):
     """Fused serving step with the shared (all-gathered) detector batch."""
     dets, valid = shared_detector_detect(detector_params, frames, mesh,
-                                         detect_fn)
+                                         detect_fn,
+                                         with_classes=cfg.class_aware)
     return multi_stream_step(banks, frames, dets, valid, cfg)
 
 
