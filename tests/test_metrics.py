@@ -96,3 +96,86 @@ def test_clear_empty_frames_and_no_hyp():
     assert m["fn"] == 1 and m["fp"] == 0 and m["idsw"] == 0
     np.testing.assert_allclose(m["mota"], 0.0)
     assert m["idf1"] == 0.0
+
+
+# ---------------------------------------------------------------------
+# HOTA (utils.metrics.hota) — hand-computed oracles per the IJCV 2020
+# definitions (TrackEval is not installable here; paper is the oracle).
+# ---------------------------------------------------------------------
+
+def _hota_seq(frames):
+    from tpu_mot.utils.metrics import hota
+    return hota(*zip(*frames))
+
+
+def test_hota_perfect():
+    """Identical GT and hypothesis → every component is exactly 1."""
+    frames = [(([0, 1], [_box(10, 10), _box(30, 30)]),
+               ([5, 7], [_box(10, 10), _box(30, 30)]))
+              for _ in range(6)]
+    m = _hota_seq(frames)
+    for k in ("hota", "deta", "assa", "loca"):
+        assert abs(m[k] - 1.0) < 1e-9, (k, m[k])
+
+
+def test_hota_id_switch():
+    """One GT track over 2N frames, the hypothesis splits it in half
+    (id 1 then id 2), boxes exact.  Paper arithmetic: DetA = 1 (every
+    frame a TP at any alpha); for each TP of pair (g, h): TPA = N,
+    FNA = N (g's other-half frames matched to the other id), FPA = 0,
+    so A = N/2N = 0.5 for all 2N TPs → AssA = 0.5,
+    HOTA = sqrt(1 * 0.5)."""
+    n = 4
+    frames = [(([0], [_box(10, 10)]),
+               ([1 if t < n else 2], [_box(10, 10)]))
+              for t in range(2 * n)]
+    m = _hota_seq(frames)
+    assert abs(m["deta"] - 1.0) < 1e-9
+    assert abs(m["assa"] - 0.5) < 1e-9
+    assert abs(m["hota"] - np.sqrt(0.5)) < 1e-9
+    assert abs(m["loca"] - 1.0) < 1e-9
+
+
+def test_hota_half_missed():
+    """One GT track over 2N frames, hypothesis covers only the first N
+    (same id, boxes exact).  DetA = N/(N + N FN) = 0.5; each TP's pair:
+    TPA = N, FNA = N (unmatched gt frames), FPA = 0 → AssA = 0.5;
+    HOTA = 0.5.  (CLEAR-MOT would call this MOTA 0.5 with no IDSW —
+    HOTA additionally charges association for the missing half.)"""
+    n = 4
+    frames = []
+    for t in range(2 * n):
+        gt = ([0], [_box(10, 10)])
+        hyp = ([1], [_box(10, 10)]) if t < n else ([], np.zeros((0, 4)))
+        frames.append((gt, hyp))
+    m = _hota_seq(frames)
+    assert abs(m["deta"] - 0.5) < 1e-9
+    assert abs(m["assa"] - 0.5) < 1e-9
+    assert abs(m["hota"] - 0.5) < 1e-9
+
+
+def test_hota_localization_sweep():
+    """A hypothesis at constant IoU ~0.58 vs GT: TPs exist only for
+    alphas below that IoU, so DetA_alpha steps from 1 to 0 across the
+    sweep and HOTA averages the per-alpha scores."""
+    # 4x4 box shifted by 1 px in x: inter = 3*4, union = 2*16 - 12 = 20,
+    # IoU = 0.6.
+    frames = [(([0], [_box(10, 10)]), ([1], [_box(11, 10)]))
+              for _ in range(5)]
+    m = _hota_seq(frames)
+    alphas = m["alphas"]
+    want = np.where(alphas <= 0.6 + 1e-9, 1.0, 0.0)
+    np.testing.assert_allclose(m["hota_alpha"], want, atol=1e-9)
+    assert abs(m["hota"] - want.mean()) < 1e-9
+    # LocA averages per-alpha mean-TP-IoU over ALL alphas (zero-TP alphas
+    # contribute 0 — the TrackEval/paper integration convention).
+    assert abs(m["loca"] - 0.6 * want.mean()) < 1e-6
+
+
+def test_hota_empty_inputs():
+    from tpu_mot.utils.metrics import hota
+    e = ([], np.zeros((0, 4)))
+    assert hota([e], [e])["hota"] == 1.0          # vacuously perfect
+    g = ([0], [_box(10, 10)])
+    assert hota([g], [e])["hota"] == 0.0          # all FN
+    assert hota([e], [g])["hota"] == 0.0          # all FP

@@ -147,6 +147,8 @@ def cmd_mot(args) -> int:
                 np.asarray([t[1] for t in tr]).reshape(-1, 4))
                for tr in tracks]
         m = metrics_mod.clear_mot(gt, hyp)
+        h = metrics_mod.hota(gt, hyp)
+        m.update({k: h[k] for k in ("hota", "deta", "assa", "loca")})
         print(json.dumps({k: round(float(v), 4) for k, v in m.items()}))
     return 0
 
@@ -214,6 +216,8 @@ def cmd_eval(args) -> int:
         print(json.dumps({"seq": name, "frames": len(frames),
                           "fps": round(len(frames) / dt, 1),
                           "mota": round(float(m["mota"]), 4),
+                          "hota": round(float(
+                              metrics_mod.hota(gt, hyp)["hota"]), 4),
                           "idf1": round(float(m["idf1"]), 4),
                           "fp": int(m["fp"]), "fn": int(m["fn"]),
                           "idsw": int(m["idsw"])}))

@@ -211,3 +211,105 @@ def clear_mot(gt_frames, hyp_frames, iou_thr: float = 0.5) -> dict:
         "mostly_tracked": float(mostly_tracked),
         "mostly_lost": float(mostly_lost),
     }
+
+
+def hota(gt_frames, hyp_frames, alphas=None) -> dict:
+    """HOTA (Higher Order Tracking Accuracy, Luiten et al., IJCV 2020) —
+    the modern MOT metric decomposing into detection and association
+    accuracy: HOTA_a = sqrt(DetA_a * AssA_a), averaged over localization
+    thresholds a.  Follows the published two-pass algorithm (the one the
+    official TrackEval scorer implements): a global alignment score from
+    accumulated per-pair similarity first, then per-a Hungarian matching
+    that maximizes alignment*similarity so association quality breaks
+    detection-level ties.
+
+    The reference predates HOTA and scores CLEAR-MOT only (SURVEY.md §4);
+    this extension lets users score both from the same
+    (ids, boxes)-per-frame outputs.  Inputs exactly as clear_mot.
+    Returns {hota, deta, assa, loca, hota_alpha: [A], alphas: [A]}.
+    """
+    if alphas is None:
+        alphas = np.arange(0.05, 0.96, 0.05)
+    alphas = np.asarray(alphas, float)
+    assert len(gt_frames) == len(hyp_frames)
+
+    # Index the id spaces.
+    gt_ids = sorted({int(g) for gids, _ in gt_frames
+                     for g in np.asarray(gids).tolist()})
+    hyp_ids = sorted({int(h) for hids, _ in hyp_frames
+                      for h in np.asarray(hids).tolist()})
+    gmap = {g: i for i, g in enumerate(gt_ids)}
+    hmap = {h: i for i, h in enumerate(hyp_ids)}
+    ng, nh = len(gt_ids), len(hyp_ids)
+    if ng == 0 or nh == 0:
+        z = np.zeros_like(alphas)
+        empty = ng == 0 and nh == 0
+        val = 1.0 if empty else 0.0
+        return {"hota": val, "deta": val, "assa": val, "loca": val,
+                "hota_alpha": z + val, "alphas": alphas}
+
+    # Pass 1: per-frame IoU + global potential-match accumulation.
+    frames = []                      # (g_idx [N], h_idx [M], iou [N, M])
+    potential = np.zeros((ng, nh))
+    gt_count = np.zeros(ng)
+    hyp_count = np.zeros(nh)
+    for (gids, gboxes), (hids, hboxes) in zip(gt_frames, hyp_frames):
+        gi = np.asarray([gmap[int(g)] for g in np.asarray(gids).tolist()],
+                        int)
+        hi = np.asarray([hmap[int(h)] for h in np.asarray(hids).tolist()],
+                        int)
+        iou = _iou_matrix(
+            np.asarray(gboxes, float).reshape(len(gi), 4),
+            np.asarray(hboxes, float).reshape(len(hi), 4))
+        frames.append((gi, hi, iou))
+        gt_count[gi] += 1
+        hyp_count[hi] += 1
+        if len(gi) and len(hi):
+            denom = iou.sum(0)[None, :] + iou.sum(1)[:, None] - iou
+            sim = np.divide(iou, denom, out=np.zeros_like(iou),
+                            where=denom > 0)
+            potential[np.ix_(gi, hi)] += sim
+    align = potential / np.maximum(
+        gt_count[:, None] + hyp_count[None, :] - potential, 1e-12)
+
+    # Pass 2: per-alpha matching and association accumulation.
+    eps = 1e-9
+    n_alpha = len(alphas)
+    tp = np.zeros(n_alpha)
+    fn = np.zeros(n_alpha)
+    fp = np.zeros(n_alpha)
+    loc = np.zeros(n_alpha)
+    match_count = np.zeros((n_alpha, ng, nh))
+    for gi, hi, iou in frames:
+        if len(gi) == 0 or len(hi) == 0:
+            fn += len(gi)
+            fp += len(hi)
+            continue
+        score = align[np.ix_(gi, hi)] * iou
+        for a, alpha in enumerate(alphas):
+            ok = iou >= alpha - eps
+            ri, ci = linear_sum_assignment(-(score * ok))
+            keep = ok[ri, ci]
+            ri, ci = ri[keep], ci[keep]
+            tp[a] += len(ri)
+            fn[a] += len(gi) - len(ri)
+            fp[a] += len(hi) - len(ri)
+            loc[a] += iou[ri, ci].sum()
+            match_count[a][gi[ri], hi[ci]] += 1
+
+    ass_alpha = np.zeros(n_alpha)
+    for a in range(n_alpha):
+        union = np.maximum(
+            gt_count[:, None] + hyp_count[None, :] - match_count[a], 1e-12)
+        ass_alpha[a] = (match_count[a] * (match_count[a] / union)).sum() \
+            / max(tp[a], 1e-12)
+    det_alpha = tp / np.maximum(tp + fn + fp, 1e-12)
+    hota_alpha = np.sqrt(det_alpha * ass_alpha)
+    return {
+        "hota": float(hota_alpha.mean()),
+        "deta": float(det_alpha.mean()),
+        "assa": float(ass_alpha.mean()),
+        "loca": float((loc / np.maximum(tp, 1e-12)).mean()),
+        "hota_alpha": hota_alpha,
+        "alphas": alphas,
+    }
