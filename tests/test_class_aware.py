@@ -185,3 +185,64 @@ def test_strided_detector_class_aware():
                                           np.asarray(out_strided.ids))
             np.testing.assert_array_equal(np.asarray(out_b.cls),
                                           np.asarray(out_strided.cls))
+
+
+def test_synthetic_class_fixture():
+    """Class-keyed synthetic fixtures: distinct texture families per
+    class (inside the box only — background identical), 6-col detections
+    carrying the object classes, and a bit-identical default path (the
+    rng stream must not move for n_classes=1 — goldens depend on it)."""
+    from tpu_mot.data import synthetic
+
+    # Same object, different class → frames differ inside the box only.
+    frames = {}
+    for cls in (0, 1, 2):
+        o = synthetic.SyntheticObject(cx=80, cy=60, w=24, h=24, vx=0,
+                                      vy=0, cls=cls)
+        f, b, v = synthetic.render_sequence([o], 2, 120, 160, seed=9,
+                                            noise=0.0)
+        frames[cls] = f[0]
+    inside = np.s_[60 - 10:60 + 10, 80 - 10:80 + 10]
+    for a, b in [(0, 1), (1, 2), (0, 2)]:
+        assert np.abs(frames[a][inside] - frames[b][inside]).max() > 0.2
+    outside = frames[0].copy()
+    outside[60 - 14:60 + 14, 80 - 14:80 + 14] = 0
+    for cls in (1, 2):
+        other = frames[cls].copy()
+        other[60 - 14:60 + 14, 80 - 14:80 + 14] = 0
+        np.testing.assert_array_equal(outside, other)
+
+    # Stripes really are stripes: strong row-to-row flips.
+    stripe_patch = frames[1][inside]
+    speckle_patch = frames[0][inside]
+    row_flip = lambda p: np.abs(np.diff(p, axis=0)).mean()
+    col_flip = lambda p: np.abs(np.diff(p, axis=1)).mean()
+    assert col_flip(stripe_patch) < 0.3 * row_flip(stripe_patch)
+    assert col_flip(speckle_patch) > 0.5 * row_flip(speckle_patch)
+
+    # make_objects class assignment + 6-col detections.
+    rng = np.random.default_rng(0)
+    objs = synthetic.make_objects(10, 120, 160, rng, n_classes=3)
+    classes = np.asarray([o.cls for o in objs])
+    assert set(classes.tolist()) <= {0, 1, 2}
+    assert len(set(classes.tolist())) >= 2
+    fr, boxes, vis = synthetic.render_sequence(objs, 3, 120, 160, seed=1)
+    dets = synthetic.detections_from_gt(boxes, vis, seed=1,
+                                        classes=classes)
+    for f in range(3):
+        assert dets[f].shape[1] == 6
+        # Jitter is small: recover each det's source object by nearest
+        # center and check the class column matches.
+        for row in dets[f]:
+            d2 = ((boxes[f, :, 0] - row[0]) ** 2
+                  + (boxes[f, :, 1] - row[1]) ** 2)
+            d2[~vis[f]] = 1e18
+            assert row[5] == classes[int(np.argmin(d2))]
+
+    # Default path draws nothing extra from the rng stream.
+    rng_a = np.random.default_rng(4)
+    rng_b = np.random.default_rng(4)
+    a = synthetic.make_objects(4, 120, 160, rng_a)
+    b = synthetic.make_objects(4, 120, 160, rng_b, n_classes=1)
+    assert float(rng_a.random()) == float(rng_b.random())
+    assert [o.cx for o in a] == [o.cx for o in b]

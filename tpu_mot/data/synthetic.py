@@ -29,6 +29,11 @@ class SyntheticObject:
     # gating / re-acquisition after occlusion (SURVEY.md §5 fault
     # injection).
     occlude: tuple | None = None
+    # Detector class of the object (class-aware MOT fixtures): selects a
+    # visually distinct texture family in render_sequence so a trained
+    # detector can actually LEARN the class — 0 speckle, 1 horizontal
+    # stripes, 2 checkerboard (mod 3 beyond that).
+    cls: int = 0
 
     def visible_at(self, f: int) -> bool:
         if not (self.appear <= f < self.vanish):
@@ -41,8 +46,8 @@ class SyntheticObject:
 
 def make_objects(n: int, height: int, width: int, rng: np.random.Generator,
                  min_size: int = 16, max_size: int = 40,
-                 max_speed: float = 3.0, lifespan: tuple | None = None
-                 ) -> list[SyntheticObject]:
+                 max_speed: float = 3.0, lifespan: tuple | None = None,
+                 n_classes: int = 1) -> list[SyntheticObject]:
     objs = []
     for _ in range(n):
         w = float(rng.integers(min_size, max_size))
@@ -54,6 +59,10 @@ def make_objects(n: int, height: int, width: int, rng: np.random.Generator,
             vx=float(rng.uniform(-max_speed, max_speed)),
             vy=float(rng.uniform(-max_speed, max_speed)),
             appear=0 if lifespan is None else int(rng.integers(*lifespan)),
+            # The class draw happens only when requested, keeping the rng
+            # stream (and every existing fixture/golden) bit-identical
+            # for the default single-class path.
+            cls=int(rng.integers(0, n_classes)) if n_classes > 1 else 0,
         ))
     return objs
 
@@ -74,10 +83,22 @@ def render_sequence(objects: list[SyntheticObject], n_frames: int,
     textures = []
     for o in objects:
         th, tw = int(round(o.h)), int(round(o.w))
+        # The rng draw happens for every class (stream stays aligned for
+        # mixed-class sequences); class families reshape the SAME draw so
+        # single-class sequences remain bit-identical to pre-class code.
         tex = rng.random((th, tw)) * 0.6 + 0.4
+        fam = int(getattr(o, "cls", 0)) % 3
+        if fam == 1:                       # horizontal stripes
+            rows = (np.arange(th)[:, None] // 3) % 2
+            tex = 0.25 + 0.65 * rows + (tex - 0.7) * 0.15
+        elif fam == 2:                     # checkerboard
+            ys, xs_ = np.meshgrid(np.arange(th), np.arange(tw),
+                                  indexing="ij")
+            checks = ((ys // 4) + (xs_ // 4)) % 2
+            tex = 0.25 + 0.65 * checks + (tex - 0.7) * 0.15
         # Strong border so the box edge is a trackable feature.
         tex[0, :] = tex[-1, :] = tex[:, 0] = tex[:, -1] = 1.0
-        textures.append(tex)
+        textures.append(np.clip(tex, 0.0, 1.0))
 
     frames = np.empty((n_frames, height, width), np.float32)
     boxes = np.zeros((n_frames, len(objects), 4), np.float32)
@@ -183,13 +204,20 @@ def render_trajectories(centers: np.ndarray, sizes: np.ndarray,
 
 def detections_from_gt(boxes: np.ndarray, visible: np.ndarray, seed: int = 0,
                        jitter: float = 1.0, drop_prob: float = 0.0,
-                       fp_per_frame: float = 0.0, frame_hw=(240, 320)):
+                       fp_per_frame: float = 0.0, frame_hw=(240, 320),
+                       classes=None):
     """Simulate a detector from ground truth: jittered boxes, dropped
     detections, false positives.  Returns per-frame list of [D_f, 5]
     arrays (cx, cy, w, h, score) — the fault-injection hook of
-    SURVEY.md §5 ("failure detection")."""
+    SURVEY.md §5 ("failure detection").
+
+    classes: optional [K] per-object class ids — detections then carry a
+    6th class column ([D_f, 6], the cfg.class_aware form; false positives
+    draw a uniform random class)."""
     rng = np.random.default_rng(seed)
     n_frames, n_obj = visible.shape
+    ncol = 5 if classes is None else 6
+    n_cls = (int(np.max(classes)) + 1) if classes is not None else 1
     out = []
     for f in range(n_frames):
         dets = []
@@ -197,16 +225,22 @@ def detections_from_gt(boxes: np.ndarray, visible: np.ndarray, seed: int = 0,
             if not visible[f, k] or rng.random() < drop_prob:
                 continue
             cx, cy, w, h = boxes[f, k]
-            dets.append([cx + rng.normal(0, jitter),
-                         cy + rng.normal(0, jitter),
-                         w * (1 + rng.normal(0, 0.02)),
-                         h * (1 + rng.normal(0, 0.02)),
-                         float(rng.uniform(0.5, 1.0))])
+            row = [cx + rng.normal(0, jitter),
+                   cy + rng.normal(0, jitter),
+                   w * (1 + rng.normal(0, 0.02)),
+                   h * (1 + rng.normal(0, 0.02)),
+                   float(rng.uniform(0.5, 1.0))]
+            if classes is not None:
+                row.append(float(classes[k]))
+            dets.append(row)
         n_fp = rng.poisson(fp_per_frame)
         for _ in range(n_fp):
-            dets.append([rng.uniform(20, frame_hw[1] - 20),
-                         rng.uniform(20, frame_hw[0] - 20),
-                         rng.uniform(10, 40), rng.uniform(10, 40),
-                         float(rng.uniform(0.3, 0.6))])
-        out.append(np.asarray(dets, np.float32).reshape(-1, 5))
+            row = [rng.uniform(20, frame_hw[1] - 20),
+                   rng.uniform(20, frame_hw[0] - 20),
+                   rng.uniform(10, 40), rng.uniform(10, 40),
+                   float(rng.uniform(0.3, 0.6))]
+            if classes is not None:
+                row.append(float(rng.integers(0, n_cls)))
+            dets.append(row)
+        out.append(np.asarray(dets, np.float32).reshape(-1, ncol))
     return out
