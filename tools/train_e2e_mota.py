@@ -27,16 +27,18 @@ INPUT = 256
 N_OBJ = 10
 
 
-def _scenes(seeds, n_frames):
+def _scenes(seeds, n_frames, n_classes=1):
     from tpu_mot.data import synthetic
     out = []
     for seed in seeds:
         rng = np.random.default_rng(seed)
         objs = synthetic.make_objects(N_OBJ, H, W, rng, min_size=16,
-                                      max_size=40, max_speed=2.5)
+                                      max_size=40, max_speed=2.5,
+                                      n_classes=n_classes)
         frames, boxes, vis = synthetic.render_sequence(
             objs, n_frames, H, W, seed=seed, noise=0.02)
-        out.append((frames, boxes, vis))
+        out.append((frames, boxes, vis,
+                    np.asarray([o.cls for o in objs], np.int64)))
     return out
 
 
@@ -70,6 +72,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--classes", type=int, default=1,
+                    help="detector classes; >1 keys object textures by "
+                         "class (data.synthetic families) and adds a "
+                         "class-aware vs class-blind tracking comparison")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (the axon sitecustomize prepends the "
                          "TPU plugin, so the env var alone cannot)")
@@ -92,7 +98,8 @@ def main() -> None:
     # Anchors sized for the fixture's 16-40 px objects after the
     # (H, W) → INPUT² resize (x0.8 / x1.07 scale): two heads so nearby
     # objects resolve on the stride-16 grid.
-    spec = YoloSpec("yolov3-tiny", num_classes=1, input_size=INPUT,
+    spec = YoloSpec("yolov3-tiny", num_classes=args.classes,
+                    input_size=INPUT,
                     anchors=(((40, 40), (64, 64), (96, 96)),
                              ((12, 12), (20, 20), (30, 30))),
                     bn_momentum=0.9)
@@ -102,15 +109,16 @@ def main() -> None:
     # frames of H2D each — 600 steps took 17 min); here the whole
     # dataset + per-frame targets upload ONCE and a lax.scan runs every
     # step on device: minutes → seconds.
-    train_scenes = _scenes(range(48), 24)      # 1152 frames
+    train_scenes = _scenes(range(48), 24, args.classes)   # 1152 frames
     frames_all = np.concatenate([s[0] for s in train_scenes])
     boxes_all = np.concatenate([s[1] for s in train_scenes])
     vis_all = np.concatenate([s[2] for s in train_scenes])
+    cls_all = np.concatenate([np.tile(s[3], (len(s[0]), 1))
+                              for s in train_scenes])
     n_data = len(frames_all)
 
     tgts_all = train_mod.build_targets(
-        spec, _to_input_px(boxes_all),
-        np.zeros((n_data, N_OBJ), np.int64), vis_all)     # per-head [N,...]
+        spec, _to_input_px(boxes_all), cls_all, vis_all)  # per-head [N,...]
     imgs_all = jax.image.resize(
         jnp.asarray(frames_all)[..., None].repeat(3, -1),
         (n_data, INPUT, INPUT, 3), "bilinear")
@@ -142,19 +150,21 @@ def main() -> None:
                       "seconds": round(time.time() - t0, 1)}), flush=True)
 
     # --- phase 2: held-out mAP + operating-point selection -------------
-    val_scenes = _scenes((100, 101), 12)       # 24 held-out frames
+    val_scenes = _scenes((100, 101), 12, args.classes)  # 24 held-out
     vframes = np.concatenate([s[0] for s in val_scenes])
     vboxes = np.concatenate([s[1] for s in val_scenes])
     vvis = np.concatenate([s[2] for s in val_scenes])
+    vcls = np.concatenate([np.tile(s[3], (len(s[0]), 1))
+                           for s in val_scenes])
     dets, valid, classes = detect_batch(
         params, jnp.asarray(vframes), spec, (H, W), 64, 0.45, 0.05)
     dets, valid, classes = (np.asarray(dets), np.asarray(valid),
                             np.asarray(classes))
     pred = [(dets[f, valid[f], :4], dets[f, valid[f], 4],
              classes[f, valid[f]]) for f in range(len(vframes))]
-    gt = [(vboxes[f, vvis[f]], np.zeros(int(vvis[f].sum()), np.int64))
+    gt = [(vboxes[f, vvis[f]], vcls[f, vvis[f]])
           for f in range(len(vframes))]
-    m_ap = metrics.detection_map(pred, gt, num_classes=1)
+    m_ap = metrics.detection_map(pred, gt, num_classes=args.classes)
 
     # MOTA ~ 1 - (FP + FN + IDSW)/GT: pick the score threshold that
     # maximizes detection F1 on validation (a low fixed threshold feeds
@@ -187,8 +197,8 @@ def main() -> None:
                       "chosen_score_thr": best_thr}), flush=True)
 
     # --- phase 3: e2e detect→track scored MOTA ------------------------
-    e2e = _scenes((200,), 40)[0]
-    eframes, eboxes, evis = e2e
+    e2e = _scenes((200,), 40, args.classes)[0]
+    eframes, eboxes, evis, ecls = e2e
     max_dets = 32
     # Noisy-detector operating point: emit only recently-matched tracks
     # (SORT's time_since_update gate).  The default output_max_tsu=1e6 is
@@ -196,35 +206,53 @@ def main() -> None:
     # correct there) but amplifies every detector FP into up-to-max_age
     # frames of emitted phantom boxes — the first run measured MOTA -0.24
     # at det-F1 0.64 purely from that amplification.
-    cfg = TrackerConfig(max_tracks=32, max_detections=max_dets,
-                        frame_height=H, frame_width=W,
-                        output_max_tsu=1)
-    dets_e, valid_e, _ = detect_batch(
+    dets_e, valid_e, cls_e = detect_batch(
         params, jnp.asarray(eframes), spec, (H, W), max_dets, 0.45,
         best_thr)
-    bank0 = bank_mod.empty_bank(cfg)
-    _, outs = scan.run_sequence(bank0, jnp.asarray(eframes), dets_e,
-                                valid_e, cfg)
-    ids_np = np.asarray(outs.ids)
-    boxes_np = np.asarray(outs.boxes)
-    valid_np = np.asarray(outs.valid)
-    hyp = []
-    for f in range(len(eframes)):
-        sel = np.where(valid_np[f])[0]
-        hyp.append((ids_np[f, sel], boxes_np[f, sel]))
     gt_e = [(np.where(evis[f])[0], eboxes[f, np.where(evis[f])[0]])
             for f in range(len(eframes))]
-    m = metrics.clear_mot(gt_e, hyp)
-    print(json.dumps({
+
+    def track_and_score(class_aware):
+        cfg = TrackerConfig(max_tracks=32, max_detections=max_dets,
+                            frame_height=H, frame_width=W,
+                            output_max_tsu=1, class_aware=class_aware)
+        d = dets_e
+        if class_aware:
+            from tpu_mot.models.detector import dets_with_classes
+            d = dets_with_classes(dets_e, cls_e)
+        bank0 = bank_mod.empty_bank(cfg)
+        _, outs = scan.run_sequence(bank0, jnp.asarray(eframes), d,
+                                    valid_e, cfg)
+        ids_np = np.asarray(outs.ids)
+        boxes_np = np.asarray(outs.boxes)
+        valid_np = np.asarray(outs.valid)
+        hyp = []
+        for f in range(len(eframes)):
+            sel = np.where(valid_np[f])[0]
+            hyp.append((ids_np[f, sel], boxes_np[f, sel]))
+        m = metrics.clear_mot(gt_e, hyp)
+        m["hota"] = metrics.hota(gt_e, hyp)["hota"]
+        return m
+
+    m = track_and_score(class_aware=False)
+    summary = {
         "phase": "SUMMARY",
         "metric": "e2e detect+track MOTA with trained detector in loop",
+        "classes": args.classes,
         "map@50": round(m_ap["map"], 4),
         "mota": round(m["mota"], 4),
         "idf1": round(m["idf1"], 4),
+        "hota": round(m["hota"], 4),
         "idsw": int(m["idsw"]),
         "train_steps": args.steps,
         "device": str(jax.devices()[0]),
-    }), flush=True)
+    }
+    if args.classes > 1:
+        ma = track_and_score(class_aware=True)
+        summary["class_aware"] = {
+            "mota": round(ma["mota"], 4), "idf1": round(ma["idf1"], 4),
+            "hota": round(ma["hota"], 4), "idsw": int(ma["idsw"])}
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
