@@ -246,3 +246,62 @@ def test_synthetic_class_fixture():
     b = synthetic.make_objects(4, 120, 160, rng_b, n_classes=1)
     assert float(rng_a.random()) == float(rng_b.random())
     assert [o.cx for o in a] == [o.cx for o in b]
+
+
+def test_bounce_gate_and_best_assoc_matrix():
+    """Identical-texture elastic bounce at 4 px/frame (KCF appearance
+    cannot disambiguate — the pixels match): class-blind tracking swaps
+    ids; the class gate alone refuses the swap but fragments (the KCF
+    template locked onto the look-alike, so the refined box never
+    re-overlaps the right detection); gate + assoc_box="best" (the
+    Kalman hypothesis rides along in the cost) recovers identity
+    completely.  Pins examples/class_aware_mot.py's demo numbers."""
+    from tpu_mot.data import synthetic
+    from tpu_mot.tracker import bank as bank_mod, scan
+    from tpu_mot.utils import metrics
+
+    h, w, n_frames, speed = 240, 320, 40, 4.0
+    meet, y = 160.0, 120.0
+    f_meet = n_frames // 2
+    t = np.arange(n_frames)
+    cx1 = np.where(t <= f_meet, meet - speed * (f_meet - t),
+                   meet - speed * (t - f_meet))
+    centers = np.zeros((n_frames, 2, 2))
+    centers[:, 0] = np.stack([cx1, np.full(n_frames, y - 1.0)], -1)
+    centers[:, 1] = np.stack([2 * meet - cx1,
+                              np.full(n_frames, y + 1.0)], -1)
+    sizes = np.asarray([[20.0, 20.0], [20.0, 20.0]])
+    classes = np.asarray([0, 1], np.int64)
+    frames, boxes, vis = synthetic.render_trajectories(
+        centers, sizes, h, w, seed=42, tex_levels=[0.45, 0.45])
+    dets_list = synthetic.detections_from_gt(
+        boxes, vis, seed=1, jitter=1.0, frame_hw=(h, w), classes=classes)
+
+    def run(aware, abox):
+        cfg = _cfg(max_tracks=16, max_detections=16, frame_height=h,
+                   frame_width=w, n_init=2, use_kcf=True,
+                   class_aware=aware, assoc_box=abox)
+        d = np.zeros((n_frames, 16, 6), np.float32)
+        v = np.zeros((n_frames, 16), bool)
+        for f in range(n_frames):
+            d[f], v[f] = pad_detections(dets_list[f], 16)
+        dj = jnp.asarray(d if aware else d[..., :5])
+        _, outs = scan.run_sequence(bank_mod.empty_bank(cfg),
+                                    jnp.asarray(frames), dj,
+                                    jnp.asarray(v), cfg)
+        ids = np.asarray(outs.ids)
+        bxs = np.asarray(outs.boxes)
+        val = np.asarray(outs.valid)
+        hyp = [(ids[f, val[f]], bxs[f, val[f]]) for f in range(n_frames)]
+        gt = [(np.where(vis[f])[0], boxes[f, vis[f]])
+              for f in range(n_frames)]
+        m = metrics.clear_mot(gt, hyp)
+        return m["idf1"], m["idsw"]
+
+    idf1_blind, idsw_blind = run(False, "refined")
+    assert idf1_blind < 0.6 and idsw_blind >= 2          # the swap
+    idf1_gate, _ = run(True, "refined")
+    assert idf1_gate > idf1_blind                        # gate helps...
+    idf1_best, idsw_best = run(True, "best")
+    assert idf1_best > 0.95 and idsw_best == 0           # ...best rescues
+    assert idf1_best >= idf1_gate

@@ -141,6 +141,14 @@ class TrackerConfig:
     # class_aware=True are treated as all class 0 (the gate is trivially
     # true, matching the single-class semantics).
     class_aware: bool = False
+    # Which track box hypothesis the association cost scores against the
+    # detections: "refined" (the KCF-refined box — the reference blends
+    # appearance into association this way, default), "predicted" (raw
+    # Kalman prediction, plain-SORT), or "best" (each pair takes the
+    # better IoU of the two — an appearance lock onto a look-alike
+    # cannot veto a motion-consistent match; see the identical-texture
+    # bounce demo, examples/class_aware_mot.py).
+    assoc_box: str = "refined"
 
     # Lifecycle (SORT-style tentative/confirmed/lost state machine).
     n_init: int = 3                # hits to confirm a tentative track
@@ -239,6 +247,8 @@ class TrackerConfig:
             raise ValueError(f"unknown roi_impl {self.roi_impl!r}")
         if self.kcf_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown kcf_impl {self.kcf_impl!r}")
+        if self.assoc_box not in ("refined", "predicted", "best"):
+            raise ValueError(f"unknown assoc_box {self.assoc_box!r}")
         if self.assign_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown assign_impl {self.assign_impl!r}")
         if self.pyramid_impl not in ("auto", "fused", "xla"):

@@ -37,7 +37,9 @@ def association_cost(track_boxes: jnp.ndarray, det_boxes: jnp.ndarray,
                      iou_gate: float, infeasible: float,
                      appearance: jnp.ndarray | None = None,
                      appearance_weight: float = 0.0,
-                     class_gate: jnp.ndarray | None = None) -> jnp.ndarray:
+                     class_gate: jnp.ndarray | None = None,
+                     track_boxes_alt: jnp.ndarray | None = None
+                     ) -> jnp.ndarray:
     """Gated cost matrix [T, D].
 
     cost = (1-w)*(1 - IoU) + w*(1 - appearance); pairs below the IoU gate,
@@ -46,8 +48,16 @@ def association_cost(track_boxes: jnp.ndarray, det_boxes: jnp.ndarray,
     response of track t's model at detection d — the reference blends IoU
     with appearance per BASELINE.json north star).  `class_gate` is an
     optional [T, D] bool mask; False pairs (class mismatch under
-    cfg.class_aware) are gated infeasible like a failed IoU gate."""
+    cfg.class_aware) are gated infeasible like a failed IoU gate.
+    `track_boxes_alt` is an optional second box hypothesis per track
+    (cfg.assoc_box="best": the Kalman prediction alongside the
+    KCF-refined box) — each pair scores the BETTER of the two IoUs, so
+    an appearance lock onto the wrong target cannot veto a perfectly
+    good motion-consistent match (the identical-texture bounce fixture,
+    examples/class_aware_mot.py)."""
     iou = pairwise_iou(track_boxes, det_boxes)
+    if track_boxes_alt is not None:
+        iou = jnp.maximum(iou, pairwise_iou(track_boxes_alt, det_boxes))
     cost = 1.0 - iou
     if appearance is not None and appearance_weight > 0.0:
         cost = ((1.0 - appearance_weight) * cost

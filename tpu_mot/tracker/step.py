@@ -278,11 +278,15 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     # `alive`) pass trivially so the gate never interacts with recycling.
     class_gate = ((bank.cls[:, None] == det_cls[None, :])
                   | (bank.cls[:, None] < 0)) if cfg.class_aware else None
+    assoc_primary = pred_boxes if cfg.assoc_box == "predicted" else refined
+    # "best": the Kalman prediction rides along as a second hypothesis
+    # per pair (identical when KCF refinement was gated off anyway).
+    assoc_alt = pred_boxes if cfg.assoc_box == "best" else None
     cost = iou_ops.association_cost(
-        refined, det_boxes, alive, det_valid,
+        assoc_primary, det_boxes, alive, det_valid,
         cfg.iou_gate, cfg.cost_infeasible,
         appearance=appearance, appearance_weight=cfg.appearance_weight,
-        class_gate=class_gate)
+        class_gate=class_gate, track_boxes_alt=assoc_alt)
     feasible = cost < cfg.cost_infeasible * 0.5
 
     # ---- 4. Assignment -----------------------------------------------
