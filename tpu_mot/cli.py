@@ -60,6 +60,11 @@ def _add_common(p):
                         "boxes (refined, the C lineage's shape) or reuse "
                         "the phase-aligned detect-site spectra (detect, "
                         "no second ROI extraction; see config.py)")
+    p.add_argument("--assoc-box", choices=("refined", "predicted", "best"),
+                   default=None,
+                   help="track box hypothesis scored in association: "
+                        "KCF-refined (default), Kalman prediction (plain "
+                        "SORT), or the better IoU of both per pair")
 
 
 def _make_cfg(args, h, w):
@@ -79,7 +84,7 @@ def _make_cfg(args, h, w):
     trk_kw = {}
     for arg in ("appearance_weight", "confidence_mode", "min_psr",
                 "n_init", "max_age", "roi_impl", "kcf_impl",
-                "train_site", "class_aware"):
+                "train_site", "class_aware", "assoc_box"):
         val = getattr(args, arg, None)
         if val is not None:
             trk_kw[arg] = val
