@@ -161,6 +161,30 @@ def main() -> None:
 
     e2e_fast_ms = _marginal_ms(e2e_fast_chain, n_frames)
 
+    # ---- stage 4b: int8 dynamic-PTQ convs + Fast NMS --------------------
+    # Same f32 params served through the int8 path (models/yolo._QuantConv:
+    # per-channel int8 weights, per-tensor int8 activations, int32 MXU
+    # accumulation — 2x bf16 peak on paper; measured delta recorded in
+    # docs/BENCHMARKS.md).
+    spec_int8 = YoloSpec("yolov3-tiny", num_classes=80, dtype="int8")
+
+    @jax.jit
+    def e2e_int8_once(params, bank, frames):
+        dets, valid, _ = detect_batch(params, frames, spec_int8,
+                                      (height, width), max_dets, 0.45, 0.3,
+                                      nms_impl="fast")
+        return scan.run_sequence(bank, frames, dets, valid, cfg)
+
+    def e2e_int8_chain(n):
+        bank = bank0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            bank, outs = e2e_int8_once(det.params, bank, fj)
+        float(np.asarray(outs.n_alive).sum())       # forced fetch
+        return time.perf_counter() - t0
+
+    e2e_int8_ms = _marginal_ms(e2e_int8_chain, n_frames)
+
     # ---- stage 5: strided detection (detector every 3rd frame) ---------
     # The reference lineage's "every frame or strided" serving mode
     # (SURVEY §3.2): the CNN runs in a lax.cond on stride frames, KCF
@@ -205,6 +229,8 @@ def main() -> None:
             "e2e_ms_per_frame": round(e2e_ms, 3),
             "e2e_bf16_fastnms_ms_per_frame": round(e2e_fast_ms, 3),
             "e2e_bf16_fastnms_fps": round(1e3 / e2e_fast_ms, 1),
+            "e2e_int8_fastnms_ms_per_frame": round(e2e_int8_ms, 3),
+            "e2e_int8_fastnms_fps": round(1e3 / e2e_int8_ms, 1),
             "e2e_strided3_ms_per_frame": round(e2e_strided_ms, 3),
             "e2e_strided3_fps": round(1e3 / e2e_strided_ms, 1),
             "e2e_strided3_batched_ms_per_frame": round(e2e_sb_ms, 3),

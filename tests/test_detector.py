@@ -444,3 +444,41 @@ def test_strided_batched_equality():
                                np.asarray(out_ref.boxes), atol=0.05)
     np.testing.assert_array_equal(np.asarray(out_b.valid),
                                   np.asarray(out_ref.valid))
+
+
+def test_int8_quantized_inference_close_to_f32():
+    """spec.dtype='int8' (dynamic PTQ: per-channel int8 weights,
+    per-tensor int8 activations, int32 MXU accumulation) serves the SAME
+    f32 params — no conversion step — and must reproduce the f32
+    detector's boxes to quantization tolerance."""
+    import flax
+    import optax
+
+    from tpu_mot.parallel.train import init_train_state
+
+    spec32 = YoloSpec("yolov3-tiny", num_classes=2, input_size=96)
+    det = YoloDetector.random_init(spec32, max_out=8, score_thr=0.05)
+    spec8 = YoloSpec("yolov3-tiny", num_classes=2, input_size=96,
+                     dtype="int8")
+    frames = jnp.asarray(np.random.default_rng(0).random(
+        (2, 96, 128)).astype(np.float32))
+
+    d32, v32, c32 = detect_batch(det.params, frames, spec32, (96, 128),
+                                 8, 0.45, 0.05)
+    d8, v8, c8 = detect_batch(det.params, frames, spec8, (96, 128),
+                              8, 0.45, 0.05)
+    d32, v32 = np.asarray(d32), np.asarray(v32)
+    d8, v8 = np.asarray(d8), np.asarray(v8)
+    # Near-identical geometry: every f32 detection has an int8 twin a
+    # few px away (positional comparison would flake — quantization
+    # noise reorders same-score survivors in the NMS keep list).
+    assert abs(int(v8.sum()) - int(v32.sum())) <= 1
+    for b in range(2):
+        for i in np.where(v32[b])[0]:
+            d = np.linalg.norm(d8[b, v8[b], :2] - d32[b, i, :2], axis=1)
+            assert d.size and d.min() < 4.0, (b, i, d32[b, i], d.min())
+
+    # Training against the int8 path is rejected loudly.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inference-only"):
+        init_train_state(spec8, optax.adam(1e-3))

@@ -96,6 +96,52 @@ class YoloSpec:
         return "sigmoid" if self.name.startswith("yolov3") else "softmax"
 
 
+def _dt_quant(spec):
+    """Resolve spec.dtype -> (flax compute dtype, int8-quant flag)."""
+    if spec.dtype == "int8":
+        return jnp.float32, True
+    return (jnp.bfloat16 if spec.dtype == "bfloat16"
+            else jnp.float32), False
+
+
+class _QuantConv(nn.Module):
+    """int8 inference conv (post-training dynamic quantization).
+
+    Parameter tree is IDENTICAL to nn.Conv ("kernel", optional "bias"),
+    so f32-trained / darknet-loaded weights run through this path with
+    zero conversion: weights quantize per-output-channel symmetric int8
+    at trace time, activations per-tensor dynamic int8 at run time, and
+    the conv accumulates int8 x int8 -> int32 on the MXU (2x the bf16
+    peak on v5e) before the two scales rescale the output to f32.
+    Inference only — round() kills gradients (guarded in parallel.train).
+    """
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, in_ch, self.features))
+        s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0,
+                          1e-8)                                   # [O]
+        wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+        x = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-8)      # []
+        xq = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, (self.stride, self.stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (s_x * s_w)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+        return y
+
+
 class ConvBlock(nn.Module):
     """Conv + BatchNorm + LeakyReLU — darknet's standard block."""
     features: int
@@ -105,13 +151,18 @@ class ConvBlock(nn.Module):
     act: bool = True
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.99
+    quant: bool = False        # int8 inference path (spec.dtype="int8")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=not self.use_bn,
-                    dtype=self.dtype, name="conv")(x)
+        if self.quant:
+            x = _QuantConv(self.features, self.kernel, self.stride,
+                           use_bias=not self.use_bn, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding="SAME", use_bias=not self.use_bn,
+                        dtype=self.dtype, name="conv")(x)
         if self.use_bn:
             # train=True uses batch statistics and updates the running
             # mean/var (apply with mutable=["batch_stats"]); inference
@@ -152,12 +203,13 @@ class YoloV3Tiny(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        dt = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
+        dt, quant = _dt_quant(self.spec)
         nc = self.spec.num_classes
         n_anchor0 = len(self.spec.anchors[0])
         n_anchor1 = len(self.spec.anchors[1])
         cb = lambda f, k=3, **kw: ConvBlock(
-            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum, **kw)
+            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum,
+            quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
         x = c(16)(x)
@@ -179,7 +231,7 @@ class YoloV3Tiny(nn.Module):
         # Head 0 (stride 32).
         y0 = c(512)(route13)
         y0 = ConvBlock(n_anchor0 * (5 + nc), 1, use_bn=False, act=False,
-                       dtype=dt, name="head0")(y0, train)
+                       dtype=dt, quant=quant, name="head0")(y0, train)
         # Head 1 (stride 16) with upsample + concat.
         u = c(128, k=1)(route13)
         u = jax.image.resize(u, (u.shape[0], u.shape[1] * 2,
@@ -187,7 +239,7 @@ class YoloV3Tiny(nn.Module):
         x1 = jnp.concatenate([u, route8], axis=-1)
         y1 = c(256)(x1)
         y1 = ConvBlock(n_anchor1 * (5 + nc), 1, use_bn=False, act=False,
-                       dtype=dt, name="head1")(y1, train)
+                       dtype=dt, quant=quant, name="head1")(y1, train)
         return (y0.astype(jnp.float32), y1.astype(jnp.float32))
 
 
@@ -197,11 +249,12 @@ class YoloV2Tiny(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        dt = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
+        dt, quant = _dt_quant(self.spec)
         nc = self.spec.num_classes
         n_anchor = len(self.spec.anchors[0])
         cb = lambda f, k=3, **kw: ConvBlock(
-            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum, **kw)
+            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum,
+            quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
         for f in (16, 32, 64, 128, 256):
             x = c(f)(x)
@@ -211,7 +264,7 @@ class YoloV2Tiny(nn.Module):
         x = c(1024)(x)
         x = c(512)(x)
         x = ConvBlock(n_anchor * (5 + nc), 1, use_bn=False, act=False,
-                      dtype=dt, name="head0")(x, train)
+                      dtype=dt, quant=quant, name="head0")(x, train)
         return (x.astype(jnp.float32),)
 
 
@@ -226,11 +279,12 @@ class YoloV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        dt = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
+        dt, quant = _dt_quant(self.spec)
         nc = self.spec.num_classes
         n_anchor = len(self.spec.anchors[0])
         cb = lambda f, k=3, **kw: ConvBlock(
-            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum, **kw)
+            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum,
+            quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
         x = c(32)(x)
@@ -265,7 +319,7 @@ class YoloV2(nn.Module):
         x = jnp.concatenate([p, x], axis=-1)
         x = c(1024)(x)
         x = ConvBlock(n_anchor * (5 + nc), 1, use_bn=False, act=False,
-                      dtype=dt, name="head0")(x, train)
+                      dtype=dt, quant=quant, name="head0")(x, train)
         return (x.astype(jnp.float32),)
 
 
@@ -279,11 +333,12 @@ class YoloV3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        dt = jnp.bfloat16 if self.spec.dtype == "bfloat16" else jnp.float32
+        dt, quant = _dt_quant(self.spec)
         nc = self.spec.num_classes
         heads_a = [len(a) for a in self.spec.anchors]
         cb = lambda f, k=3, **kw: ConvBlock(
-            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum, **kw)
+            f, k, dtype=dt, bn_momentum=self.spec.bn_momentum,
+            quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
         def res(x, half):
@@ -325,19 +380,19 @@ class YoloV3(nn.Module):
         branch0 = convset(x, 512)
         y0 = c(1024)(branch0)
         y0 = ConvBlock(heads_a[0] * (5 + nc), 1, use_bn=False, act=False,
-                       dtype=dt, name="head0")(y0, train)
+                       dtype=dt, quant=quant, name="head0")(y0, train)
         # Head 1 (stride 16).
         u = upsample2(c(256, k=1)(branch0))
         branch1 = convset(jnp.concatenate([u, route16], axis=-1), 256)
         y1 = c(512)(branch1)
         y1 = ConvBlock(heads_a[1] * (5 + nc), 1, use_bn=False, act=False,
-                       dtype=dt, name="head1")(y1, train)
+                       dtype=dt, quant=quant, name="head1")(y1, train)
         # Head 2 (stride 8).
         u = upsample2(c(128, k=1)(branch1))
         branch2 = convset(jnp.concatenate([u, route8], axis=-1), 128)
         y2 = c(256)(branch2)
         y2 = ConvBlock(heads_a[2] * (5 + nc), 1, use_bn=False, act=False,
-                       dtype=dt, name="head2")(y2, train)
+                       dtype=dt, quant=quant, name="head2")(y2, train)
         return (y0.astype(jnp.float32), y1.astype(jnp.float32),
                 y2.astype(jnp.float32))
 

@@ -142,6 +142,12 @@ def make_train_step(spec: YoloSpec, tx: optax.GradientTransformation):
 
 def init_train_state(spec: YoloSpec, tx: optax.GradientTransformation,
                      seed: int = 0):
+    if spec.dtype == "int8":
+        raise ValueError(
+            "spec.dtype='int8' is an inference-only path (the "
+            "quantization round() has zero gradient — training would "
+            "silently learn nothing); train in float32/bfloat16 and "
+            "serve the same params with dtype='int8'")
     model = build_model(spec)
     var = model.init(jax.random.PRNGKey(seed),
                      jnp.zeros((1, spec.input_size, spec.input_size, 3),
