@@ -305,3 +305,19 @@ def test_bounce_gate_and_best_assoc_matrix():
     idf1_best, idsw_best = run(True, "best")
     assert idf1_best > 0.95 and idsw_best == 0           # ...best rescues
     assert idf1_best >= idf1_gate
+
+
+def test_track_sequence_six_col_detections():
+    """track_sequence (the cmd_video --class-aware path) must accept
+    6-column per-frame detection lists — the buffer width follows the
+    input (caught by review: the hardcoded [*, 5] buffer crashed on the
+    first class-aware frame)."""
+    from tpu_mot.tracker import scan
+
+    frame = np.zeros((3, 120, 160), np.float32)
+    dets = [np.asarray([[40.0, 60, 16, 16, 1.0, 1.0]], np.float32),
+            np.asarray([[44.0, 60, 16, 16, 1.0, 1.0]], np.float32),
+            np.zeros((0, 6), np.float32)]       # empty frame too
+    cfg = _cfg(class_aware=True)
+    bank, tracks, outs = scan.track_sequence(frame, dets, cfg)
+    assert np.asarray(outs.cls).max() == 1      # class carried through

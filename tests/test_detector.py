@@ -482,3 +482,45 @@ def test_int8_quantized_inference_close_to_f32():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="inference-only"):
         init_train_state(spec8, optax.adam(1e-3))
+
+
+def test_int8_scale_is_per_sample():
+    """A bright frame in the batch must not change its batchmates'
+    int8 detections: batched serving equals streaming per frame."""
+    spec8 = YoloSpec("yolov3-tiny", num_classes=2, input_size=96,
+                     dtype="int8")
+    det = YoloDetector.random_init(
+        YoloSpec("yolov3-tiny", num_classes=2, input_size=96),
+        max_out=8, score_thr=0.05)
+    rng = np.random.default_rng(3)
+    dim = rng.random((1, 96, 128)).astype(np.float32) * 0.3
+    bright = np.ones((1, 96, 128), np.float32)
+    both = jnp.asarray(np.concatenate([dim, bright]))
+    d_solo, v_solo, _ = detect_batch(det.params, jnp.asarray(dim), spec8,
+                                     (96, 128), 8, 0.45, 0.05)
+    d_pair, v_pair, _ = detect_batch(det.params, both, spec8,
+                                     (96, 128), 8, 0.45, 0.05)
+    np.testing.assert_array_equal(np.asarray(v_solo[0]),
+                                  np.asarray(v_pair[0]))
+    np.testing.assert_allclose(np.asarray(d_solo[0]),
+                               np.asarray(d_pair[0]), atol=1e-5)
+
+
+def test_stride2_conv_taps_darknet_alignment():
+    """darknet pads k//2 on both sides; XLA SAME pads (0, 1) at stride 2
+    — one pixel later.  With a delta kernel at the window center, output
+    row j must read input row 2j (darknet), not 2j+1 (SAME)."""
+    from tpu_mot.models.yolo import ConvBlock
+    import flax
+
+    blk = ConvBlock(1, kernel=3, stride=2, use_bn=False, act=False)
+    x = jnp.arange(8.0).reshape(1, 8, 1, 1).repeat(2, axis=2)
+    var = blk.init(jax.random.PRNGKey(0), x)
+    k = np.zeros((3, 3, 1, 1), np.float32)
+    k[1, 1, 0, 0] = 1.0                        # center tap only
+    var = flax.core.unfreeze(var)
+    var["params"]["conv"]["kernel"] = jnp.asarray(k)
+    var["params"]["conv"]["bias"] = jnp.zeros((1,))
+    y = blk.apply(flax.core.freeze(var), x)
+    np.testing.assert_array_equal(np.asarray(y[0, :, 0, 0]),
+                                  [0.0, 2.0, 4.0, 6.0])

@@ -50,22 +50,14 @@ def main() -> None:
     n_long, n_short = 256, 32
 
     def measure(build):
-        def body(carry, _):
-            g, b = carry
-            lv = build(g)
-            p = roi_k.extract_patches_pallas(
-                g.astype(jnp.float32) / 255.0, b, 2.5, s, levels=lv,
-                frame_hw=(h, w))
-            # Perturb the frame from the result so nothing hoists.
-            return (g ^ (jnp.mean(p) > 1e30).astype(jnp.uint8)
-                    .astype(jnp.uint8) + g * 0, b), None
-
         def body2(carry, _):
             g, b = carry
             lv = build(g)
             p = roi_k.extract_patches_pallas(
                 g.astype(jnp.float32) / 255.0, b, 2.5, s, levels=lv,
                 frame_hw=(h, w))
+            # Boxes carry a result-derived perturbation so no iteration
+            # hoists (scan-hoisting pitfall, CLAUDE.md).
             bb = b + jnp.mean(p) * 1e-9
             return (g, bb), None
 

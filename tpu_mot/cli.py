@@ -319,11 +319,10 @@ def cmd_video(args) -> int:
         else:
             dets, valid, classes = det.detect(chunk)
             if getattr(args, "class_aware", False):
-                # Append the detector class column ([D, 6]) so the
-                # tracker's class gate sees it (cfg.class_aware).
-                import numpy as _np
-                dets = _np.concatenate(
-                    [dets, classes[..., None].astype(dets.dtype)], axis=-1)
+                # The [D, 6] class-aware detection form (one canonical
+                # builder — see models.detector.dets_with_classes).
+                from tpu_mot.models.detector import dets_with_classes
+                dets = np.asarray(dets_with_classes(dets, classes))
             dets_list = [d[v] for d, v in zip(dets, valid)]
             bank, tracks, _ = scan.track_sequence(chunk, dets_list, cfg,
                                                   bank=bank)

@@ -129,10 +129,18 @@ class _QuantConv(nn.Module):
                           1e-8)                                   # [O]
         wq = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
         x = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-8)      # []
+        # PER-SAMPLE activation scale (not per-batch): a bright frame
+        # must not coarsen its batchmates' quantization grid — batched
+        # and streamed serving must see identical per-frame detections
+        # (the repo's batched==streamed parity contract).
+        s_x = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True) / 127.0,
+            1e-8)                                           # [B, 1, 1, 1]
         xq = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
+        pad = self.kernel // 2
         y = jax.lax.conv_general_dilated(
-            xq, wq, (self.stride, self.stride), "SAME",
+            xq, wq, (self.stride, self.stride),
+            ((pad, pad), (pad, pad)),    # darknet-symmetric, see ConvBlock
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * (s_x * s_w)
@@ -155,13 +163,21 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # darknet pads k//2 on BOTH sides.  XLA's "SAME" agrees at
+        # stride 1 but pads (0, 1) at stride 2, sampling one pixel later
+        # than darknet's (1, 1) — a spatial shift that compounds across
+        # the full-v3 backbone's five downsample convs and misaligns
+        # pretrained .weights activations against the grid decode.
+        # Explicit symmetric padding is darknet-exact at every stride.
+        pad = self.kernel // 2
+        padding = ((pad, pad), (pad, pad))
         if self.quant:
             x = _QuantConv(self.features, self.kernel, self.stride,
                            use_bias=not self.use_bn, name="conv")(x)
         else:
             x = nn.Conv(self.features, (self.kernel, self.kernel),
                         strides=(self.stride, self.stride),
-                        padding="SAME", use_bias=not self.use_bn,
+                        padding=padding, use_bias=not self.use_bn,
                         dtype=self.dtype, name="conv")(x)
         if self.use_bn:
             # train=True uses batch statistics and updates the running

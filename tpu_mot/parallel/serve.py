@@ -37,7 +37,6 @@ def make_stream_banks(n_streams: int, cfg: TrackerConfig, mesh: Mesh):
         lambda x: jax.device_put(x, sharding), banks)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def _fold_classes(dets, classes, cfg: TrackerConfig):
     """Append the detector class column under cfg.class_aware (the [.., 6]
     detection form tracker.step's class gate consumes)."""
@@ -47,6 +46,7 @@ def _fold_classes(dets, classes, cfg: TrackerConfig):
     return dets_with_classes(dets, classes)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def multi_stream_step(banks, frames: jnp.ndarray, dets: jnp.ndarray,
                       det_valid: jnp.ndarray, cfg: TrackerConfig):
     """One tracking frame for every stream.

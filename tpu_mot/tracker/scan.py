@@ -199,8 +199,9 @@ def track_sequence(frames, detections, cfg: TrackerConfig | None = None,
                    bank=None, chunk: int | None = None):
     """Host convenience: numpy frames + per-frame detection lists → tracks.
 
-    detections: sequence of [D_f, 4|5] arrays (e.g. data.synthetic or a
-    MOT det file).  Returns (final bank, list over frames of
+    detections: sequence of [D_f, 4|5|6] arrays (e.g. data.synthetic or a
+    MOT det file; a 6th column is a detector class id, cfg.class_aware).
+    Returns (final bank, list over frames of
     [(id, (cx, cy, w, h), score)], stacked StepOutput).
 
     chunk: process the clip in chunks of this many frames (bounds HBM use
@@ -215,10 +216,20 @@ def track_sequence(frames, detections, cfg: TrackerConfig | None = None,
         # bank untouched instead of crashing in range(0, 0, 0).
         bank = bank if bank is not None else bank_mod.empty_bank(cfg)
         return bank, [], None
-    d = np.zeros((n, cfg.max_detections, 5), np.float32)
+    # Buffer width follows the detections: a 6th (class) column anywhere
+    # in the clip promotes the whole buffer so every frame traces with
+    # one static shape (5-col frames pad class 0 — the single-class
+    # semantics under cfg.class_aware).
+    w_cols = max((np.asarray(detections[f]).shape[-1]
+                  for f in range(n)
+                  if np.asarray(detections[f]).ndim == 2
+                  and len(detections[f])), default=5)
+    w_cols = 6 if w_cols >= 6 else 5
+    d = np.zeros((n, cfg.max_detections, w_cols), np.float32)
     v = np.zeros((n, cfg.max_detections), bool)
     for f in range(n):
-        d[f], v[f] = pad_detections(detections[f], cfg.max_detections)
+        df, v[f] = pad_detections(detections[f], cfg.max_detections)
+        d[f, :, : df.shape[-1]] = df
     bank = bank if bank is not None else bank_mod.empty_bank(cfg)
 
     outs = []
