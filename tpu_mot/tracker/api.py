@@ -18,11 +18,15 @@ from tpu_mot.tracker import step as step_mod
 from tpu_mot.tracker.bank import TrackBank, empty_bank
 
 
-def pad_detections(dets, capacity: int):
+def pad_detections(dets, capacity: int, width: int | None = None):
     """[N, 4|5|6] array-like → ([capacity, 5|6], [capacity] valid mask).
 
     A 6th column is a detector class id (cfg.class_aware); it is kept iff
     the input carries it, so 5-column callers keep their exact traces.
+    Pass width=6 to force the class-aware form regardless of the input
+    (missing classes pad 0 — the single-class semantics): MultiTracker
+    does this under cfg.class_aware so an empty/5-col frame in a 6-col
+    stream cannot flip the static detection shape and force a retrace.
     """
     dets = np.asarray(dets, np.float32)
     if dets.size == 0:
@@ -32,13 +36,15 @@ def pad_detections(dets, capacity: int):
         # the row broadcast below would fabricate 4-5 phantom copies.
         dets = dets.reshape(1, -1)
     n = min(len(dets), capacity)
-    width = 6 if dets.shape[-1] >= 6 else 5
+    if width is None:
+        width = 6 if dets.shape[-1] >= 6 else 5
     out = np.zeros((capacity, width), np.float32)
     if dets.shape[-1] == 4:
         out[:n, :4] = dets[:n]
         out[:n, 4] = 1.0
     else:
-        out[:n] = dets[:n, :width]
+        w_in = min(dets.shape[-1], width)
+        out[:n, :w_in] = dets[:n, :w_in]
     valid = np.zeros((capacity,), bool)
     valid[:n] = True
     return out, valid
@@ -54,11 +60,15 @@ class MultiTracker:
 
     def __init__(self, cfg: TrackerConfig | None = None):
         self.cfg = cfg or DEFAULT_CONFIG
+        # Pin the detection width per config so mixed 5/6-col frames
+        # trace as ONE program (width flips would retrace the step).
+        self._det_width = 6 if self.cfg.class_aware else 5
         self.bank: TrackBank | None = None
         self.last_output = None
 
     def init(self, frame, detections):
-        dets, valid = pad_detections(detections, self.cfg.max_detections)
+        dets, valid = pad_detections(detections, self.cfg.max_detections,
+                                    width=self._det_width)
         self.bank, out = step_mod.init(
             jnp.asarray(frame), jnp.asarray(dets), jnp.asarray(valid),
             self.cfg)
@@ -70,7 +80,8 @@ class MultiTracker:
             raise RuntimeError("call init() first")
         if detections is None:
             detections = np.zeros((0, 5), np.float32)
-        dets, valid = pad_detections(detections, self.cfg.max_detections)
+        dets, valid = pad_detections(detections, self.cfg.max_detections,
+                                    width=self._det_width)
         self.bank, out = step_mod.step(
             self.bank, jnp.asarray(frame), jnp.asarray(dets),
             jnp.asarray(valid), self.cfg)
@@ -92,7 +103,8 @@ class MultiTracker:
             raise RuntimeError("call init() first")
         if detections is None:
             detections = np.zeros((0, 5), np.float32)
-        dets, valid = pad_detections(detections, self.cfg.max_detections)
+        dets, valid = pad_detections(detections, self.cfg.max_detections,
+                                    width=self._det_width)
         self.bank, out = step_mod.step(
             self.bank, jnp.asarray(frame), jnp.asarray(dets),
             jnp.asarray(valid), self.cfg)
