@@ -16,8 +16,10 @@ def id_color(tid: int):
 
 
 def draw_tracks(frame: np.ndarray, tracks, thickness: int = 2):
-    """Draw [(id, (cx, cy, w, h), score)] onto a uint8 frame (any of gray /
-    RGB); returns an RGB uint8 copy."""
+    """Draw tracks onto a uint8 frame (gray / RGB); returns an RGB uint8
+    copy.  Each track is (id, (cx, cy, w, h), score) with an optional
+    4th element — the detector class id (cfg.class_aware streams) —
+    rendered as "id:cls" in the label."""
     import cv2
 
     img = np.asarray(frame)
@@ -27,13 +29,17 @@ def draw_tracks(frame: np.ndarray, tracks, thickness: int = 2):
         img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
     else:
         img = img.copy()
-    for tid, box, score in tracks:
+    for trk in tracks:
+        tid, box, score = trk[0], trk[1], trk[2]
+        label = (f"{int(tid)}:{int(trk[3])}" if len(trk) > 3
+                 and trk[3] is not None and int(trk[3]) >= 0
+                 else f"{int(tid)}")
         cx, cy, w, h = box
         p1 = (int(cx - w / 2), int(cy - h / 2))
         p2 = (int(cx + w / 2), int(cy + h / 2))
         color = id_color(int(tid))
         cv2.rectangle(img, p1, p2, color, thickness)
-        cv2.putText(img, f"{int(tid)}", (p1[0], max(p1[1] - 4, 10)),
+        cv2.putText(img, label, (p1[0], max(p1[1] - 4, 10)),
                     cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1, cv2.LINE_AA)
     return img
 
