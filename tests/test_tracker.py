@@ -454,3 +454,37 @@ def test_update_async_matches_update():
         pending.append(mt_async.update_async(frames[f], dets[f]))
     got_async = [mt_async.unpack(o) for o in pending]
     assert got_sync[1:] == got_async
+
+
+def test_config_axes_cross_product_no_crash():
+    """Every combination of the r3c config axes (class_aware x assoc_box
+    x assign_impl x pyramid_impl, pallas kernels in interpret mode on
+    CPU) must track the standard fixture without crashing, with finite
+    outputs and a sane id count.  Exact per-axis semantics are pinned in
+    their own tests; this is the cheap cross-product smoke that catches
+    axis interactions (e.g. a class gate under the Pallas auction)."""
+    rng = np.random.default_rng(21)
+    objs = synthetic.make_objects(4, 96, 128, rng, min_size=12,
+                                  max_size=20, max_speed=2.0,
+                                  n_classes=2)
+    classes = np.asarray([o.cls for o in objs], np.int64)
+    frames, gt, vis = synthetic.render_sequence(objs, 6, 96, 128, seed=5)
+    dets6 = synthetic.detections_from_gt(gt, vis, seed=5,
+                                         frame_hw=(96, 128),
+                                         classes=classes)
+    for class_aware in (False, True):
+        for assoc_box in ("refined", "predicted", "best"):
+            for assign_impl, pyramid_impl, roi_impl in (
+                    ("xla", "xla", "xla"),
+                    ("pallas", "fused", "pallas")):
+                cfg = TrackerConfig(
+                    max_tracks=8, max_detections=8, frame_height=96,
+                    frame_width=128, n_init=1, roi_impl=roi_impl,
+                    class_aware=class_aware, assoc_box=assoc_box,
+                    assign_impl=assign_impl, pyramid_impl=pyramid_impl)
+                _, tracks, outs = scan.track_sequence(frames, dets6, cfg)
+                assert np.isfinite(np.asarray(outs.boxes)).all(), (
+                    class_aware, assoc_box, assign_impl)
+                n_ids = len({tid for tr in tracks for tid, _, _ in tr})
+                assert 2 <= n_ids <= 8, (class_aware, assoc_box,
+                                         assign_impl, n_ids)
