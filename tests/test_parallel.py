@@ -180,6 +180,40 @@ def test_graft_entry_dryrun_self_provisions():
     assert "driver-style dryrun: ok" in proc.stdout
 
 
+def test_graft_entry_dryrun_parent_never_inits_backend():
+    """MULTICHIP_r03 regression (rc=124): the PARENT of dryrun_multichip
+    must never initialize a JAX backend — with the axon tunnel wedged,
+    backend init hangs forever.  Simulate an unusable default backend by
+    poisoning JAX_PLATFORMS with a nonexistent platform: any backend-init
+    attempt in the parent raises immediately (the testable stand-in for a
+    hang), while the CPU-mesh child overrides the poison and must pass."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("TPU_MOT_DRYRUN_CHILD", None)
+    env["JAX_PLATFORMS"] = "wedged_tunnel_stub"
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+    code = "\n".join([
+        "import sys",
+        f"sys.path.insert(0, {repo!r})",
+        "import __graft_entry__",
+        "__graft_entry__.dryrun_multichip(8)",
+        "print('poisoned-backend dryrun: ok')",
+    ])
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr}")
+    assert "poisoned-backend dryrun: ok" in proc.stdout
+
+
 def test_multistream_strided_equality(ndev):
     """multi_stream_sequence_strided (grouped cond-free lowering, DP and
     shared-detector modes) must equal multi_stream_sequence fed the same
