@@ -342,3 +342,88 @@ def test_step_assign_impl_pallas_equals_xla():
     np.testing.assert_array_equal(outs["xla"].valid, outs["pallas"].valid)
     np.testing.assert_allclose(outs["xla"].boxes, outs["pallas"].boxes,
                                rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_capped_solve_partial_contract(impl):
+    """Iteration-capped partial solves (VERDICT r3 weak #6): with a tiny
+    max_iters both implementations must (a) report converged=False, (b)
+    return only well-formed per-row matches — every entry is -1 or a
+    FEASIBLE column, no column matched twice — never mid-solve garbage
+    (the Pallas kernel's col_of legitimately holds -1 partial state at
+    cap; strip_to_rows must pass it through as 'unmatched', the same
+    semantics the XLA path surfaces)."""
+    rng = np.random.default_rng(11)
+    n, m = 24, 30
+    cost = rng.uniform(0.0, 2.0, (n, m)).astype(np.float32)
+    feasible = rng.random((n, m)) < 0.6
+    cost = np.where(feasible, cost, 1e4).astype(np.float32)
+
+    got, iters, conv = assignment.auction_assign_stats(
+        jnp.asarray(cost), jnp.asarray(feasible), max_iters=2, impl=impl)
+    got = np.asarray(got)
+    assert not bool(conv), impl
+    assert int(iters) >= 1
+    matched = got[got >= 0]
+    assert (matched < m).all(), impl
+    assert len(np.unique(matched)) == len(matched), impl      # no dup cols
+    rows = np.where(got >= 0)[0]
+    assert feasible[rows, got[rows]].all(), impl
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_step_surfaces_capped_solve(impl, monkeypatch):
+    """The tracker step must surface assign_converged=False when the
+    auction caps out, on BOTH impl paths, and still emit well-formed
+    output (unmatched tracks coast; no crash, no garbage det indices).
+    Forces the cap by pinning max_iters=1 at the step's call site and
+    feeding a maximally-contended scene: 8 coincident objects, so every
+    alive track bids for every detection at near-identical cost and a
+    Jacobi auction needs many rounds to untangle the ties."""
+    import functools
+
+    from tpu_mot.config import TrackerConfig
+    from tpu_mot.data import synthetic
+    from tpu_mot.tracker import bank as bank_mod
+    from tpu_mot.tracker import step as step_mod
+    from tpu_mot.tracker.api import pad_detections
+
+    monkeypatch.setattr(
+        step_mod, "auction_assign_stats",
+        functools.partial(assignment.auction_assign_stats, max_iters=1))
+    # The monkeypatch binds at TRACE time, and step is jitted with cfg
+    # static — an earlier test using an identical cfg (e.g.
+    # test_step_assign_impl_pallas_equals_xla) leaves a cached compile
+    # of the UNPATCHED solver that would silently win.  Clear around the
+    # patched section (after as well: max_iters=1 traces must not poison
+    # later same-cfg tests).
+    step_mod.step.clear_cache()
+
+    h, w, n_obj, n_frames = 120, 160, 8, 3
+    centers = np.zeros((n_frames, n_obj, 2))
+    centers[..., 0] = 80.0 + np.arange(n_obj) * 0.5     # ~coincident cx
+    centers[..., 1] = 60.0 + np.arange(n_obj) * 0.5
+    sizes = np.full((n_obj, 2), 24.0)
+    frames, boxes, vis = synthetic.render_trajectories(
+        centers, sizes, h, w, seed=5)
+    dets = synthetic.detections_from_gt(boxes, vis, seed=5, jitter=0.5,
+                                        frame_hw=(h, w))
+    cfg = TrackerConfig(max_tracks=16, max_detections=8, frame_height=h,
+                        frame_width=w, roi_impl="xla", assign_impl=impl)
+    bank = bank_mod.empty_bank(cfg)
+    try:
+        for f in range(n_frames):
+            d, v = pad_detections(dets[f], cfg.max_detections)
+            bank, out = step_mod.step(bank, jnp.asarray(frames[f]),
+                                      jnp.asarray(d), jnp.asarray(v), cfg)
+    finally:
+        step_mod.step.clear_cache()     # drop the max_iters=1 traces
+    # 8 mutually-contending rows cannot clear a 1-round Jacobi auction.
+    assert not bool(out.assign_converged), impl
+    assert np.isfinite(np.asarray(out.boxes)).all(), impl
+    # Partial-solve lifecycle semantics: every original track persists
+    # (matched or coasting), and a det left unmatched by the capped
+    # auction births a tentative track — same rule as a genuinely
+    # unmatched det, never a crash or a stolen slot.
+    n_out = (np.asarray(out.ids) >= 0).sum()
+    assert n_obj <= n_out <= n_obj + cfg.max_detections, impl

@@ -110,7 +110,17 @@ def auction_solve_pallas(b: jnp.ndarray, eps: float, max_iters: int,
     """Solve the squared auction on benefits b [n, n] (dummies/jitter
     already folded in, as built by ops/assignment).  Returns
     (col_of [n] int32 — may contain -1 only if max_iters was hit —
-    and iters [] int32)."""
+    and iters [] int32).
+
+    Capped-solve contract (tests/test_assignment.py::
+    test_capped_solve_partial_contract / test_step_surfaces_capped_solve):
+    when max_iters exhausts, col_of is mid-solve PARTIAL state — some rows
+    -1, the rest holding a column they currently own (always a real,
+    never-garbage index).  The ops/assignment wrapper maps this through
+    the same strip_to_rows as the XLA solver, so -1 surfaces as
+    "unmatched" and converged=False; in the tracker step unmatched tracks
+    coast and unmatched detections birth tentatively — identical
+    semantics to the XLA path's cap."""
     n = b.shape[0]
     assert b.shape == (n, n)
     if interpret is None:
