@@ -13,10 +13,25 @@ size, so large targets tolerate proportionally larger residuals.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpu_mot.config import KalmanConfig
+
+# All KF matmuls run at HIGHEST precision.  On TPU, DEFAULT-precision
+# dots compute in bf16 (8 mantissa bits): at 1080p coordinates (x up to
+# 1920) that is a ~4-8 px quantum injected into every predict/correct —
+# measured on the class-aware bounce fixture (2026-08-19, TPU v5e): the
+# default path collapsed to IDF1 0.476 (phantom coasting after the
+# velocity flip; CPU reference 0.987) and recovered to 0.987 exactly by
+# pinning precision.  Cost is nil — the whole-bank KF is ~0.004 ms of
+# the 0.25 ms frame (profile_stages_r2.log) on [T,8,8] operands that
+# never tile the MXU anyway.
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 _DIM = 8
 _F = np.eye(_DIM, dtype=np.float32)
@@ -50,8 +65,8 @@ def predict(mean: jnp.ndarray, cov: jnp.ndarray, cfg: KalmanConfig
     q_vel = (cfg.process_vel_std * scale) ** 2
     q_diag = jnp.concatenate([jnp.tile(q_pos[:, None], (1, 4)),
                               jnp.tile(q_vel[:, None], (1, 4))], axis=1)
-    new_mean = jnp.einsum("ij,tj->ti", f, mean)
-    new_cov = (jnp.einsum("ij,tjk,lk->til", f, cov, f)
+    new_mean = _einsum("ij,tj->ti", f, mean)
+    new_cov = (_einsum("ij,tjk,lk->til", f, cov, f)
                + jnp.eye(_DIM, dtype=jnp.float32)[None] * q_diag[:, None, :])
     return new_mean, new_cov
 
@@ -78,13 +93,13 @@ def _inv4x4_spd(s: jnp.ndarray) -> jnp.ndarray:
     c = s[..., 2:, :2]
     d = s[..., 2:, 2:]
     ai = _inv2x2(a)
-    aib = ai @ b                                   # [..., 2, 2]
-    schur = d - c @ aib
+    aib = _mm(ai, b)                                 # [..., 2, 2]
+    schur = d - _mm(c, aib)
     si = _inv2x2(schur)
-    cai = c @ ai
-    top_left = ai + aib @ si @ cai
-    top_right = -aib @ si
-    bot_left = -si @ cai
+    cai = _mm(c, ai)
+    top_left = ai + _mm(_mm(aib, si), cai)
+    top_right = -_mm(aib, si)
+    bot_left = -_mm(si, cai)
     top = jnp.concatenate([top_left, top_right], axis=-1)
     bot = jnp.concatenate([bot_left, si], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
@@ -102,18 +117,18 @@ def correct(mean: jnp.ndarray, cov: jnp.ndarray, z: jnp.ndarray,
     scale = jnp.maximum(jnp.maximum(mean[:, 2], mean[:, 3]), 1.0)
     r_diag = ((cfg.pos_std_factor * scale) ** 2)[:, None] * jnp.ones(
         (1, 4), jnp.float32)                                       # [T, 4]
-    s = (jnp.einsum("ij,tjk,lk->til", h, cov, h)
+    s = (_einsum("ij,tjk,lk->til", h, cov, h)
          + jnp.eye(4, dtype=jnp.float32)[None] * r_diag[:, None, :])
-    pht = jnp.einsum("tjk,ik->tji", cov, h)                        # [T, 8, 4]
+    pht = _einsum("tjk,ik->tji", cov, h)                        # [T, 8, 4]
     # K = P H^T S^-1 with a closed-form batched 4x4 inverse: linalg.solve
     # lowers to a LAPACK-style custom call that costs ~0.13 ms/frame on the
     # bank (profiled); S is symmetric positive definite, so a 2x2-block
     # Schur inverse is a handful of VPU elementwise ops instead.
-    k = jnp.einsum("tji,tik->tjk", pht, _inv4x4_spd(s))            # [T,8,4]
-    resid = z - jnp.einsum("ij,tj->ti", h, mean)                   # [T, 4]
-    new_mean = mean + jnp.einsum("tij,tj->ti", k, resid)
-    kh = jnp.einsum("tij,jk->tik", k, h)                           # [T,8,8]
-    new_cov = jnp.einsum("tij,tjk->tik", jnp.eye(_DIM)[None] - kh, cov)
+    k = _einsum("tji,tik->tjk", pht, _inv4x4_spd(s))            # [T,8,4]
+    resid = z - _einsum("ij,tj->ti", h, mean)                   # [T, 4]
+    new_mean = mean + _einsum("tij,tj->ti", k, resid)
+    kh = _einsum("tij,jk->tik", k, h)                           # [T,8,8]
+    new_cov = _einsum("tij,tjk->tik", jnp.eye(_DIM)[None] - kh, cov)
     g = gate[:, None]
     return (jnp.where(g, new_mean, mean),
             jnp.where(g[:, :, None], new_cov, cov))
