@@ -13,10 +13,53 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _wait_for_backend(max_wait_s: float = 600.0,
+                      probe_timeout_s: float = 90.0) -> None:
+    """Bounded tunnel resilience (VERDICT r3 weak #2 / BENCH_r03 rc=1).
+
+    The axon tunnel intermittently wedges (TCP read hang) or goes
+    unavailable for minutes; one backend-init exception at the driver's
+    capture moment used to cost the whole round's perf evidence.  Probe
+    the backend in a short-timeout SUBPROCESS (a hang must not take this
+    process down with it) and retry for a capped window before handing
+    control to main() — which then either works or fails fast with the
+    real traceback.  All chatter goes to stderr: stdout stays the one
+    JSON line.
+    """
+    probe_code = ("import jax, jax.numpy as jnp; "
+                  "print(float(jnp.sum(jnp.arange(4.0))))")
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run([sys.executable, "-c", probe_code],
+                                  capture_output=True, text=True,
+                                  timeout=probe_timeout_s)
+            if proc.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: backend recovered on probe {attempt}",
+                          file=sys.stderr)
+                return
+            reason = f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe hang >{probe_timeout_s:.0f}s"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(f"bench: backend still down after {max_wait_s:.0f}s "
+                  f"({reason}); proceeding to fail with the real traceback",
+                  file=sys.stderr)
+            return
+        print(f"bench: backend probe {attempt} failed ({reason}); "
+              f"retrying ({remaining:.0f}s left)", file=sys.stderr)
+        time.sleep(min(30.0, max(1.0, remaining)))
 
 
 def main() -> None:
@@ -47,10 +90,12 @@ def main() -> None:
     kcf_impl = os.environ.get("TPU_MOT_KCF_IMPL", "auto")
     assign_impl = os.environ.get("TPU_MOT_ASSIGN_IMPL", "auto")
     pyramid_impl = os.environ.get("TPU_MOT_PYRAMID_IMPL", "auto")
+    kcf_precision = os.environ.get("TPU_MOT_KCF_PRECISION", "auto")
     cfg = TrackerConfig(max_tracks=128, max_detections=160,
                         frame_height=height, frame_width=width,
                         kcf_impl=kcf_impl, assign_impl=assign_impl,
-                        pyramid_impl=pyramid_impl)
+                        pyramid_impl=pyramid_impl,
+                        kcf_precision=kcf_precision)
     d = np.zeros((n_frames, cfg.max_detections, 5), np.float32)
     v = np.zeros((n_frames, cfg.max_detections), bool)
     for f in range(n_frames):
@@ -131,4 +176,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    _wait_for_backend()
     sys.exit(main())

@@ -76,3 +76,42 @@ def test_cli_synthetic_defaults_frames():
                "--max-tracks", "8", "--max-dets", "8", "--objects", "2",
                "--chunk", "25"])
     assert rc == 0
+
+
+def test_kcf_precision_auto_resolution():
+    """kcf_precision="auto" (r4 default) resolves per impl: "fwd_high"
+    on the XLA chain (forward feature DFTs at HIGH rescue the bf16
+    spectral-divide corruption; inverse response DFTs stay DEFAULT),
+    "highest" on the fused Pallas kernel (Mosaic has no HIGH dot).
+    docs/BENCHMARKS.md r4 section carries the evidence."""
+    from tpu_mot.config import TrackerConfig
+
+    assert TrackerConfig().kcf_precision == "auto"
+    assert TrackerConfig().kcf_precision_resolved == "fwd_high"
+    assert (TrackerConfig(kcf_impl="pallas").kcf_precision_resolved
+            == "highest")
+    # Explicit settings win over the coupling.
+    assert (TrackerConfig(kcf_precision="default").kcf_precision_resolved
+            == "default")
+    # XLA-only modes are rejected on the Pallas kernel at config time.
+    for bad in ("high", "fwd_high"):
+        with pytest.raises(ValueError, match="XLA chain only"):
+            TrackerConfig(kcf_impl="pallas", kcf_precision=bad)
+    with pytest.raises(ValueError, match="unknown kcf_precision"):
+        TrackerConfig(kcf_precision="bf16")
+
+
+def test_fft_precision_scope_modes():
+    """precision_scope pins the (fwd, inv) einsum precisions at trace
+    time and restores on exit; unknown modes are rejected."""
+    from tpu_mot.ops import fft as fft_ops
+
+    assert fft_ops.get_default_precision() == "highest"
+    with fft_ops.precision_scope("fwd_high"):
+        assert fft_ops.get_default_precision() == "fwd_high"
+        with fft_ops.precision_scope("default"):
+            assert fft_ops.get_default_precision() == "default"
+        assert fft_ops.get_default_precision() == "fwd_high"
+    assert fft_ops.get_default_precision() == "highest"
+    with pytest.raises(ValueError, match="unknown fft precision"):
+        fft_ops.precision_scope("bf16").__enter__()

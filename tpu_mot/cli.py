@@ -60,7 +60,8 @@ def _add_common(p):
                         "boxes (refined, the C lineage's shape) or reuse "
                         "the phase-aligned detect-site spectra (detect, "
                         "no second ROI extraction; see config.py)")
-    p.add_argument("--assoc-box", choices=("refined", "predicted", "best"),
+    p.add_argument("--assoc-box",
+                   choices=("auto", "refined", "predicted", "best"),
                    default=None,
                    help="track box hypothesis scored in association: "
                         "KCF-refined (default), Kalman prediction (plain "

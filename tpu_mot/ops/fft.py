@@ -19,8 +19,10 @@ Both return/accept split-complex CF half-spectra of shape
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +30,76 @@ from tpu_mot.ops.cfloat import CF
 
 # Module-level default backend; tests exercise both explicitly.
 _DEFAULT_BACKEND = "matmul"
+
+# DFT matmul precision.  On TPU a DEFAULT-precision dot computes in bf16
+# (8 mantissa bits); the r4 bounce-fixture regression (2026-08-19, v5e:
+# IDF1 0.987 CPU -> ~0.70 TPU with bf16 spectra, recovered by pinning)
+# showed the XLA einsum chain silently ignored cfg.kcf_precision —
+# that knob reached only the fused Pallas kernel.  Bisecting the fixture
+# further showed the sensitivity is ASYMMETRIC: the FORWARD feature
+# spectra feed train()'s spectral divide, where bf16 error corrupts
+# alphaf multiplicatively, while the INVERSE transforms only render
+# response surfaces whose sub-pixel peak tolerates bf16.  Hence the
+# "fwd_high" mode (forward=HIGH 3-pass-bf16 ~f32-grade, inverse=DEFAULT)
+# — full fixture parity at a fraction of uniform-HIGH's bench cost
+# (tools/bench_prec_*_r4.log; uniform sweep: default 4968 / high 4142 /
+# highest 3287 fps at the 1080p@128trk bench shape).
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
+# mode -> (forward precision, inverse precision)
+_MODES = {"highest": ("highest", "highest"),
+          "high": ("high", "high"),
+          "fwd_high": ("high", "default"),
+          "default": ("default", "default")}
+# Module default outside any scope (standalone/oracle use stays
+# accuracy-first); the tracker scopes each trace per cfg.kcf_precision.
+_PREC_MODE = "highest"
+
+
+def set_default_precision(mode: str) -> None:
+    global _PREC_MODE
+    if mode not in _MODES:
+        raise ValueError(f"unknown fft precision mode {mode!r}")
+    _PREC_MODE = mode
+
+
+def get_default_precision() -> str:
+    return _PREC_MODE
+
+
+@contextlib.contextmanager
+def precision_scope(mode: str):
+    """Trace-time scope pinning the DFT matmul precision mode (used by
+    the *_auto dispatchers to honor cfg.kcf_precision on the XLA chain;
+    safe because configs are jit statics — each cfg traces its own
+    program)."""
+    global _PREC_MODE
+    if mode not in _MODES:
+        raise ValueError(f"unknown fft precision mode {mode!r}")
+    prev = _PREC_MODE
+    _PREC_MODE = mode
+    try:
+        yield
+    finally:
+        _PREC_MODE = prev
+
+
+# Per-direction env overrides for A/B experiments (bench sessions only;
+# the shipped path is cfg.kcf_precision -> precision_scope).
+import os as _os
+_FWD_OVR = _os.environ.get("TPU_MOT_FFT_FWD_PREC")
+_INV_OVR = _os.environ.get("TPU_MOT_FFT_INV_PREC")
+
+
+def _einsum_fwd(*args):
+    prec = _FWD_OVR or _MODES[_PREC_MODE][0]
+    return jnp.einsum(*args, precision=_PRECISIONS[prec])
+
+
+def _einsum_inv(*args):
+    prec = _INV_OVR or _MODES[_PREC_MODE][1]
+    return jnp.einsum(*args, precision=_PRECISIONS[prec])
 
 
 def set_default_backend(name: str) -> None:
@@ -87,12 +159,12 @@ def rfft2_matmul(x: jnp.ndarray) -> CF:
     ar, ai = _dft_mats(h, half=False)       # [H, H]
     br, bi = _dft_mats(w, half=True)        # [Wf, W]
     # P + iQ = X @ B^T  (X real)
-    p = jnp.einsum("...hw,fw->...hf", x, br)
-    q = jnp.einsum("...hw,fw->...hf", x, bi)
+    p = _einsum_fwd("...hw,fw->...hf", x, br)
+    q = _einsum_fwd("...hw,fw->...hf", x, bi)
     # (Ar + iAi) @ (P + iQ)
-    yr = jnp.einsum("gh,...hf->...gf", ar, p) - jnp.einsum(
+    yr = _einsum_fwd("gh,...hf->...gf", ar, p) - _einsum_fwd(
         "gh,...hf->...gf", ai, q)
-    yi = jnp.einsum("gh,...hf->...gf", ar, q) + jnp.einsum(
+    yi = _einsum_fwd("gh,...hf->...gf", ar, q) + _einsum_fwd(
         "gh,...hf->...gf", ai, p)
     return CF(yr, yi)
 
@@ -110,12 +182,12 @@ def irfft2_matmul(yf: CF, w: int) -> jnp.ndarray:
     yr = yf.re * wts
     yi = yf.im * wts
     # M + iN = E_H @ Yw
-    m = jnp.einsum("mh,...hf->...mf", er, yr) - jnp.einsum(
+    m = _einsum_inv("mh,...hf->...mf", er, yr) - _einsum_inv(
         "mh,...hf->...mf", ei, yi)
-    n = jnp.einsum("mh,...hf->...mf", er, yi) + jnp.einsum(
+    n = _einsum_inv("mh,...hf->...mf", er, yi) + _einsum_inv(
         "mh,...hf->...mf", ei, yr)
     # Re((M + iN) @ (Gr + iGi)^T) = M Gr^T - N Gi^T
-    x = jnp.einsum("...mf,nf->...mn", m, gr) - jnp.einsum(
+    x = _einsum_inv("...mf,nf->...mn", m, gr) - _einsum_inv(
         "...mf,nf->...mn", n, gi)
     return x / (h * w)
 

@@ -180,7 +180,8 @@ def detect_auto(model: KCFModel, feat: jnp.ndarray, sigma: float,
         from tpu_mot.kernels import kcf as kcf_kernels
         return kcf_kernels.detect_fused(model, feat, sigma,
                                         precision=precision, block=block)
-    return detect(model, feat, sigma)
+    with fft_ops.precision_scope(precision):
+        return detect(model, feat, sigma)
 
 
 def detect_scales_auto(model: KCFModel, feat: jnp.ndarray, sigma: float,
@@ -210,7 +211,8 @@ def detect_scales_auto(model: KCFModel, feat: jnp.ndarray, sigma: float,
             model_k, feat.reshape((k * t,) + feat.shape[2:]), sigma,
             precision=precision, block=block)
         return flat.reshape((k, t) + flat.shape[1:])
-    return detect(model, feat, sigma)
+    with fft_ops.precision_scope(precision):
+        return detect(model, feat, sigma)
 
 
 def train_blend_auto(model: KCFModel, feat: jnp.ndarray, yf: CF,
@@ -224,7 +226,8 @@ def train_blend_auto(model: KCFModel, feat: jnp.ndarray, yf: CF,
         return kcf_kernels.train_fused(model, feat, yf, sigma, lambda_,
                                        jnp.asarray(lr, jnp.float32),
                                        precision=precision, block=block)
-    return blend(model, train(feat, yf, sigma, lambda_), lr)
+    with fft_ops.precision_scope(precision):
+        return blend(model, train(feat, yf, sigma, lambda_), lr)
 
 
 def peak_displacement(response: jnp.ndarray) -> tuple[jnp.ndarray, ...]:

@@ -143,7 +143,15 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             if cfg.pyramid_impl == "fused":
                 from tpu_mot.kernels import pyramid as _pyr
                 levels = _pyr.build_pyramid_fused(pyr_src)
-            else:                       # "xla" / "auto" (pending bench)
+            else:
+                # "auto" resolves to the XLA reduce_window chain on
+                # bench evidence (2026-08-19, v5e): the fused kernel
+                # measured 0.122 vs 0.048 ms/frame standalone at 1080p
+                # and cost the pipeline 4770 -> 2819 fps
+                # (tools/bench_pyramid_r4.log, bench_pyr_fused_r4.log)
+                # — the one-pass idea loses to three launch-cheap
+                # reduce_windows XLA already overlaps.  Knob closed
+                # like kcf_impl's fused kernel (CLAUDE.md precedent).
                 levels = _roi.build_pyramid(pyr_src)
         else:
             levels = None
@@ -170,7 +178,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             response = kcf_ops.detect_auto(bank.kcf, feats,
                                            cfg.kcf.kernel_sigma,
                                            cfg.kcf_impl,
-                                           cfg.kcf_precision,
+                                           cfg.kcf_precision_resolved,
                                            cfg.kcf_block)
             dy, dx, peak = kcf_ops.peak_displacement(response)
             best_scale = jnp.ones((t_cap,), jnp.float32)
@@ -211,7 +219,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             feats_unit = f3[1]
             r3 = kcf_ops.detect_scales_auto(
                 bank.kcf, f3, cfg.kcf.kernel_sigma, cfg.kcf_impl,
-                cfg.kcf_precision, cfg.kcf_block)                # [3,T,S,S]
+                cfg.kcf_precision_resolved, cfg.kcf_block)                # [3,T,S,S]
             response = r3[1]
             dys, dxs, peaks = kcf_ops.peak_displacement(
                 r3.reshape(3 * t_cap, s, s))
@@ -278,10 +286,11 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     # `alive`) pass trivially so the gate never interacts with recycling.
     class_gate = ((bank.cls[:, None] == det_cls[None, :])
                   | (bank.cls[:, None] < 0)) if cfg.class_aware else None
-    assoc_primary = pred_boxes if cfg.assoc_box == "predicted" else refined
+    assoc_box = cfg.assoc_box_resolved
+    assoc_primary = pred_boxes if assoc_box == "predicted" else refined
     # "best": the Kalman prediction rides along as a second hypothesis
     # per pair (identical when KCF refinement was gated off anyway).
-    assoc_alt = pred_boxes if cfg.assoc_box == "best" else None
+    assoc_alt = pred_boxes if assoc_box == "best" else None
     cost = iou_ops.association_cost(
         assoc_primary, det_boxes, alive, det_valid,
         cfg.iou_gate, cfg.cost_infeasible,
@@ -305,7 +314,14 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     else:
         impl = cfg.assign_impl
         if impl == "auto":
-            impl = "xla"        # flip on bench evidence only
+            # Bench evidence 2026-08-19 (v5e, tools/bench_auction_r4.log
+            # + bench_assign_pallas_r4.log): the VMEM-resident Pallas
+            # solve is 0.0077 vs 0.0246 ms standalone at 128x160 and
+            # lifts the full pipeline 4770 -> 5363 fps at identical
+            # MOTA/HOTA — the lax.while_loop round trips were the cost.
+            # CPU keeps the XLA path (the kernel would run in interpret
+            # mode there; equality is pinned by tests either way).
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         matched_det, assign_iters, assign_conv = auction_assign_stats(
             cost, feasible, impl=impl)                           # [T]
         new_prices = bank.auction_prices
@@ -395,7 +411,8 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         # saving is the entire second extract+feature pass.
         yf = kcf_ops.make_yf(s, cfg.kcf.padding,
                              cfg.kcf.output_sigma_factor)
-        zf = fft_ops.rfft2(feats_unit)
+        with fft_ops.precision_scope(cfg.kcf_precision_resolved):
+            zf = fft_ops.rfft2(feats_unit)
         win = jnp.maximum(pred_boxes[:, 2:4] * cfg.kcf.padding, 1e-6)
         # Feature-pixel displacement of the corrected center from the
         # extraction (predicted) center: (dx, dy) = delta_px * S / win.
@@ -419,8 +436,9 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             jnp.where((state > EMPTY) & ~is_birth & guard
                       & (is_matched | kcf_ok),
                       cfg.kcf.interp_factor, 0.0))
-        new_model = kcf_ops.train_from_spectrum(
-            zf_a, yf, cfg.kcf.kernel_sigma, cfg.kcf.lambda_, s)
+        with fft_ops.precision_scope(cfg.kcf_precision_resolved):
+            new_model = kcf_ops.train_from_spectrum(
+                zf_a, yf, cfg.kcf.kernel_sigma, cfg.kcf.lambda_, s)
         kcf_model = kcf_ops.blend(bank.kcf, new_model, lr)
     elif cfg.use_kcf:
         # kf_mean was already overwritten with init_mean (= birth box +
@@ -436,7 +454,7 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         kcf_model = kcf_ops.train_blend_auto(
             bank.kcf, feats_new, yf, cfg.kcf.kernel_sigma,
             cfg.kcf.lambda_, lr, cfg.kcf_impl,
-            cfg.kcf_precision, cfg.kcf_block)
+            cfg.kcf_precision_resolved, cfg.kcf_block)
     else:
         kcf_model = bank.kcf
 
