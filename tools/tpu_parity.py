@@ -341,12 +341,27 @@ def main():
               "CPU lowering, which may not exist). Aborting.")
         return 2
     all_results = {}
+    failures = []
+    # Each check is isolated: a hardware abort in one (e.g. the r4
+    # pyramid odd-shape INTERNAL error, tools/tpu_parity_r4.log) must
+    # not silence the remaining checks — the harness reports every
+    # failure and exits nonzero at the end instead.
     for name, fn in [("roi", check_roi), ("kcf", check_kcf),
                      ("pyramid", check_pyramid), ("auction", check_auction)]:
-        res = fn()
+        try:
+            res = fn()
+        except Exception as e:  # noqa: BLE001 — report-and-continue harness
+            import traceback
+            failures.append(name)
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            traceback.print_exc()
+            continue
         all_results.update(res)
         for k, v in res.items():
             print(f"PASS {k}: {v:.3e}")
+    if failures:
+        print(f"TPU PARITY: FAILURES in {failures}")
+        return 1
     print("TPU PARITY: ALL PASS")
     return 0
 

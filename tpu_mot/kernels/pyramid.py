@@ -37,6 +37,17 @@ Design:
     equality is asserted in tests/test_pyramid_fused.py).  u8 <-> f32
     casts go through int32 (no direct u8 cast on Mosaic).
 
+KNOWN ISSUES / STATUS (2026-08-19, v5e):
+  * BENCH: the kernel LOSES to the XLA reduce_window chain — 0.122 vs
+    0.048 ms/frame standalone at 1080p and 4770 -> 2819 fps in the
+    pipeline (tools/bench_pyramid_r4.log, bench_pyr_fused_r4.log), so
+    pyramid_impl="auto" resolves to "xla"; the knob stays for
+    re-evaluation on future toolchains.
+  * Odd frame shapes: at 543x961 the COMPILED kernel raised a TPU
+    INTERNAL backend error at fetch (tools/tpu_parity_r4.log) while
+    1080p and 256x384 pass bit-parity; until diagnosed, treat non-even
+    shapes as unsupported on hardware (interpret mode is bit-exact).
+
 Run only when the ROI Pallas path is active (the levels feed
 kernels/roi's window DMAs); CPU tests cover it via interpret mode.
 """
