@@ -79,6 +79,11 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (the axon sitecustomize prepends the "
                          "TPU plugin, so the env var alone cannot)")
+    ap.add_argument("--save", default=None,
+                    help="persist trained params (flax msgpack) here")
+    ap.add_argument("--load", default=None,
+                    help="skip training; load params saved by --save "
+                         "(steps/batch must not matter to the caller)")
     args = ap.parse_args()
 
     import jax
@@ -140,14 +145,28 @@ def main() -> None:
             return st, loss
         return jax.lax.scan(body, state, batch_idx)
 
-    t0 = time.time()
-    state, losses = train_all(state, imgs_all, tgts_all, batch_idx)
-    losses = np.asarray(losses)
-    params = {"params": state[0], "batch_stats": state[1]}
-    print(json.dumps({"phase": "train", "steps": args.steps,
-                      "loss_first": round(float(losses[0]), 4),
-                      "loss_final": round(float(losses[-1]), 4),
-                      "seconds": round(time.time() - t0, 1)}), flush=True)
+    if args.load:
+        import flax.serialization
+        with open(args.load, "rb") as fh:
+            params = flax.serialization.msgpack_restore(fh.read())
+        params = jax.tree.map(jnp.asarray, params)
+        print(json.dumps({"phase": "train", "loaded": args.load}),
+              flush=True)
+    else:
+        t0 = time.time()
+        state, losses = train_all(state, imgs_all, tgts_all, batch_idx)
+        losses = np.asarray(losses)
+        params = {"params": state[0], "batch_stats": state[1]}
+        print(json.dumps({"phase": "train", "steps": args.steps,
+                          "loss_first": round(float(losses[0]), 4),
+                          "loss_final": round(float(losses[-1]), 4),
+                          "seconds": round(time.time() - t0, 1)}),
+              flush=True)
+        if args.save:
+            import flax.serialization
+            with open(args.save, "wb") as fh:
+                fh.write(flax.serialization.msgpack_serialize(
+                    jax.tree.map(np.asarray, params)))
 
     # --- phase 2: held-out mAP + operating-point selection -------------
     val_scenes = _scenes((100, 101), 12, args.classes)  # 24 held-out
@@ -195,6 +214,30 @@ def main() -> None:
                       "val_f1_by_thr": {str(t): round(v, 3)
                                         for t, v in zip(thrs, f1s)},
                       "chosen_score_thr": best_thr}), flush=True)
+
+    # --- phase 2b: served-dtype mAP deltas on the TRAINED net ----------
+    # VERDICT r3 weak #5: the int8 dynamic-PTQ parity test bounds box
+    # drift on random weights only — activation outliers (the thing
+    # per-tensor activation scaling breaks on) exist only in trained
+    # nets.  Serve the SAME trained params through the bf16 and int8
+    # paths and report the mAP deltas.
+    quant_maps = {"float32": round(m_ap["map"], 4)}
+    for dt in ("bfloat16", "int8"):
+        import dataclasses
+        spec_q = dataclasses.replace(spec, dtype=dt)
+        dq, vq, cq = detect_batch(
+            params, jnp.asarray(vframes), spec_q, (H, W), 64, 0.45, 0.05)
+        dq, vq, cq = np.asarray(dq), np.asarray(vq), np.asarray(cq)
+        pred_q = [(dq[f, vq[f], :4], dq[f, vq[f], 4], cq[f, vq[f]])
+                  for f in range(len(vframes))]
+        m_q = metrics.detection_map(pred_q, gt, num_classes=args.classes)
+        quant_maps[dt] = round(m_q["map"], 4)
+    print(json.dumps({"phase": "quant_map", "map@50": quant_maps,
+                      "delta_int8": round(
+                          quant_maps["int8"] - quant_maps["float32"], 4),
+                      "delta_bf16": round(
+                          quant_maps["bfloat16"] - quant_maps["float32"],
+                          4)}), flush=True)
 
     # --- phase 3: e2e detect→track scored MOTA ------------------------
     e2e = _scenes((200,), 40, args.classes)[0]
