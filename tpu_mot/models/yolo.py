@@ -66,7 +66,17 @@ class YoloSpec:
     # None → the variant's canonical anchor set (resolved in __post_init__);
     # pass an explicit per-head tuple-of-tuples to override.
     anchors: tuple | None = None
-    dtype: str = "float32"      # conv compute dtype ("bfloat16" for MXU)
+    # Conv compute dtype.  Measured on the v5e (2026-08-19,
+    # tools/bench_e2e_r4.log + train_e2e_mota_r4.log quant_map phase):
+    # "bfloat16" is the serving recommendation — 720p e2e 1572 fps vs
+    # 1131 exact, trained-net mAP delta -0.005.  "int8" (dynamic PTQ:
+    # per-channel int8 weights, per-sample int8 activations, int32 MXU
+    # accumulation) is accuracy-safe on the trained fixture net (mAP
+    # +0.033 vs f32 — inside the 24-frame estimator's noise) but SLOWER
+    # than bf16 (1338 vs 1572 fps: the dynamic scale/requant overhead
+    # outweighs the int8 MXU gain at yolov3-tiny sizes), so it is a
+    # validated option for int8-only deployments, not a default.
+    dtype: str = "float32"
     # BatchNorm running-stats momentum: 0.99 matches darknet for long
     # training runs; small/fast fine-tunes want ~0.9 so the running
     # stats converge to the batch stats the train-mode network learned
