@@ -267,6 +267,37 @@ def check_kcf():
             results[f"kcf train {name}.{part} maxabs vs f64 "
                     f"(scale {sc:.2e})"] = float(e)
             assert e < sc * 1e-4 + 1e-5, f"train {name}.{part}: {e}"
+
+    # XLA-chain train accuracy per precision MODE (the r4 shipped default
+    # is kcf_precision="auto" -> "fwd_high"; the bounce-fixture rescue's
+    # corruption channel is alphaf through the spectral divide).  The
+    # pre-blend alphaf oracle:
+    from tpu_mot.ops import fft as fft_ops
+    af_new64 = np.zeros((t, s, s // 2 + 1), np.complex128)
+    for ti in range(t):
+        f64 = feat_np[ti].astype(np.float64)
+        xf_new = np.fft.rfft2(f64)
+        xx2 = (f64 ** 2).sum()
+        cross = np.fft.irfft2((xf_new * np.conj(xf_new)).sum(axis=0),
+                              s=(s, s))
+        dd = np.maximum(2 * xx2 - 2 * cross, 0.0)
+        kf = np.fft.rfft2(np.exp(-dd / (0.2 * 0.2 * s * s * c)))
+        af_new64[ti] = yf64 / (kf + 1e-4)
+    sc = max(np.abs(af_new64.real).max(), np.abs(af_new64.imag).max())
+    rel = {}
+    for mode in ("default", "fwd_high", "high", "highest"):
+        with fft_ops.precision_scope(mode):
+            got_t = jax.jit(lambda f: kcf_ops.train(
+                f, yf, 0.2, 1e-4, backend="matmul"))(feat)
+        e = max(np.abs(np.asarray(got_t.alphaf.re) - af_new64.real).max(),
+                np.abs(np.asarray(got_t.alphaf.im) - af_new64.imag).max())
+        rel[mode] = float(e) / sc
+        results[f"kcf train XLA {mode} alphaf rel-err vs f64"] = rel[mode]
+    # The shipped mode must strictly improve on the all-bf16 chain and
+    # approach the uniform-HIGH class (bounds set loose; the recorded
+    # rows are the evidence — tighten on observed hardware numbers).
+    assert rel["fwd_high"] < rel["default"], rel
+    assert rel["fwd_high"] < 20 * max(rel["high"], 1e-9), rel
     return results
 
 
