@@ -120,7 +120,8 @@ def main() -> None:
     gt = [(np.where(vis[f])[0], boxes[f, np.where(vis[f])[0]])
           for f in range(n_frames)]
     mota = metrics.clear_mot(gt, hyp)["mota"]
-    hota = metrics.hota(gt, hyp)["hota"]
+    h_all = metrics.hota(gt, hyp)
+    hota = h_all["hota"]
 
     # Timed: device-resident sequence tracking (frames already in HBM, as
     # in the serving pipeline where decode feeds HBM double-buffered).
@@ -170,6 +171,9 @@ def main() -> None:
         "vs_baseline": round(fps / 2000.0, 3),
         "extra": {"mota_sanity": round(float(mota), 4),
                   "hota": round(float(hota), 4),
+                  "deta": round(float(h_all["deta"]), 4),
+                  "assa": round(float(h_all["assa"]), 4),
+                  "loca": round(float(h_all["loca"]), 4),
                   "spread_fps": spread,
                   "n_frames": n_frames, "device": str(jax.devices()[0])},
     }))
