@@ -76,17 +76,7 @@ class MultiTracker:
         return self._unpack(out)
 
     def update(self, frame, detections=None):
-        if self.bank is None:
-            raise RuntimeError("call init() first")
-        if detections is None:
-            detections = np.zeros((0, 5), np.float32)
-        dets, valid = pad_detections(detections, self.cfg.max_detections,
-                                    width=self._det_width)
-        self.bank, out = step_mod.step(
-            self.bank, jnp.asarray(frame), jnp.asarray(dets),
-            jnp.asarray(valid), self.cfg)
-        self.last_output = out
-        return self._unpack(out)
+        return self._unpack(self.update_async(frame, detections))
 
     def update_async(self, frame, detections=None):
         """update() without the synchronous host fetch: dispatches the
