@@ -52,6 +52,14 @@ def main() -> None:
         "fhog31 + 3-scale": dict(
             kcf=KCFConfig(feature_type="hog", cell_size=4,
                           scale_step=1.05)),
+        # The heavy config pays the r4 fwd_high DFT premium
+        # proportionally more (31 channels x 3 scales of forward
+        # spectra); this row documents the recovery knob for users whose
+        # scenes don't need the precision rescue.
+        "fhog31 + 3-scale (kcf_precision=default)": dict(
+            kcf=KCFConfig(feature_type="hog", cell_size=4,
+                          scale_step=1.05),
+            kcf_precision="default"),
     }
 
     for name, kw in variants.items():

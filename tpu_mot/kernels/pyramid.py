@@ -43,10 +43,12 @@ KNOWN ISSUES / STATUS (2026-08-19, v5e):
     pipeline (tools/bench_pyramid_r4.log, bench_pyr_fused_r4.log), so
     pyramid_impl="auto" resolves to "xla"; the knob stays for
     re-evaluation on future toolchains.
-  * Odd frame shapes: at 543x961 the COMPILED kernel raised a TPU
-    INTERNAL backend error at fetch (tools/tpu_parity_r4.log) while
-    1080p and 256x384 pass bit-parity; until diagnosed, treat non-even
-    shapes as unsupported on hardware (interpret mode is bit-exact).
+  * Odd frame shapes: at 543x961 the COMPILED kernel REPRODUCIBLY
+    raises a TPU INTERNAL backend error at fetch (tpu_parity_r4.log and
+    the r4b rerun), and the abort poisons the backend for subsequent
+    device calls in the same process.  1080p and 256x384 pass
+    bit-parity compiled; treat non-even shapes as unsupported on
+    hardware (interpret mode is bit-exact, tests/test_pyramid_fused.py).
 
 Run only when the ROI Pallas path is active (the levels feed
 kernels/roi's window DMAs); CPU tests cover it via interpret mode.
