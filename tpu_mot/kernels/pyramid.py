@@ -43,12 +43,15 @@ KNOWN ISSUES / STATUS (2026-08-19, v5e):
     pipeline (tools/bench_pyramid_r4.log, bench_pyr_fused_r4.log), so
     pyramid_impl="auto" resolves to "xla"; the knob stays for
     re-evaluation on future toolchains.
-  * Odd frame shapes: at 543x961 the COMPILED kernel REPRODUCIBLY
-    raises a TPU INTERNAL backend error at fetch (tpu_parity_r4.log and
-    the r4b rerun), and the abort poisons the backend for subsequent
-    device calls in the same process.  1080p and 256x384 pass
-    bit-parity compiled; treat non-even shapes as unsupported on
-    hardware (interpret mode is bit-exact, tests/test_pyramid_fused.py).
+  * HARDWARE-UNSTABLE on the current toolchain: the COMPILED kernel
+    intermittently raises a TPU INTERNAL backend error at fetch — first
+    reproducibly at the odd 543x961 shape (tpu_parity_r4.log, _r4b),
+    then in a later same-day session at 1080p itself (_r4d), a shape
+    that had passed bit-parity earlier.  The abort poisons the backend
+    for all subsequent device calls in the process.  Treat the compiled
+    path as unreliable until a toolchain update; tools/tpu_parity.py
+    probes it subprocess-isolated and non-gating.  Interpret mode is
+    bit-exact at every shape (tests/test_pyramid_fused.py).
 
 Run only when the ROI Pallas path is active (the levels feed
 kernels/roi's window DMAs); CPU tests cover it via interpret mode.

@@ -24,6 +24,7 @@ window may reach 128 * 8 = 1024 px on the full-resolution frame.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -126,9 +127,12 @@ def build_pyramid(gray: jnp.ndarray, dtype=None):
 # latency, not bandwidth, bound).  Swept on the v5e
 # (tools/bench_roi_sweep_r2.log): 8 buffers at 16 tracks/program is ~12%
 # faster than the old 4-deep pipeline; 32 tracks/program is equivalent
-# but doubles the padding waste for small banks.
-TRACKS_PER_PROG = 16
-N_BUFFERS = 8
+# but doubles the padding waste for small banks.  The r4 re-sweep at the
+# detect-site operating point read nbuf=4 faster on the STANDALONE
+# float chain (tools/bench_roi_sweep_r4.log) — env overrides below
+# exist so bench.py can A/B the full pipeline without a code edit.
+TRACKS_PER_PROG = int(_os.environ.get("TPU_MOT_ROI_TPP", "16"))
+N_BUFFERS = int(_os.environ.get("TPU_MOT_ROI_NBUF", "8"))
 # Resample matmul precision. Mosaic supports DEFAULT (1 bf16 pass) and
 # HIGHEST (6 passes) only; DEFAULT quantizes [0,1] pixel data to ~0.4%
 # (bf16 mantissa), far below detector jitter and sensor noise, and halves
