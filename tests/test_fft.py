@@ -65,3 +65,113 @@ def test_backends_agree_on_cross_spectrum():
                                         backend=backend))
         want = np.real(np.fft.ifft2(np.fft.fft2(a) * np.conj(np.fft.fft2(b))))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+
+
+def test_response_class_rfft2_selects_inverse_precision(monkeypatch):
+    """rfft2(response_class=True) must route all 6 forward matmuls
+    through the INVERSE (response-rendering) precision class and be
+    numerically identical on CPU (precision is a TPU-only distinction).
+    Rationale in ops/fft.rfft2's docstring (r4 asymmetry finding)."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((3, 64, 64)).astype(np.float32))
+    base = fft_ops.rfft2(x, backend="matmul")
+
+    calls = {"fwd": 0, "inv": 0}
+    orig_fwd, orig_inv = fft_ops._einsum_fwd, fft_ops._einsum_inv
+
+    def fwd(*a):
+        calls["fwd"] += 1
+        return orig_fwd(*a)
+
+    def inv(*a):
+        calls["inv"] += 1
+        return orig_inv(*a)
+
+    monkeypatch.setattr(fft_ops, "_einsum_fwd", fwd)
+    monkeypatch.setattr(fft_ops, "_einsum_inv", inv)
+    got = fft_ops.rfft2(x, backend="matmul", response_class=True)
+    assert calls == {"fwd": 0, "inv": 6}, calls
+    np.testing.assert_array_equal(np.asarray(got.re), np.asarray(base.re))
+    np.testing.assert_array_equal(np.asarray(got.im), np.asarray(base.im))
+
+    calls["inv"] = 0
+    fft_ops.rfft2(x, backend="matmul", response_class=False)
+    assert calls == {"fwd": 6, "inv": 0}, calls
+
+
+def test_detect_response_only_wiring(monkeypatch):
+    """detect()'s gaussian_correlation output spectrum is response-only:
+    its forward DFT rides the inverse class, while train()'s k^xx keeps
+    the divide-class forward (the shipped fwd_high split depends on it)."""
+    from tpu_mot.ops import kcf as kcf_ops
+
+    rng = np.random.default_rng(12)
+    t, c, s = 2, 1, 32
+    feat = jnp.asarray(rng.standard_normal((t, c, s, s)).astype(np.float32))
+    yf = kcf_ops.make_yf(s, 2.5, 0.125, backend="matmul")
+    model = kcf_ops.train(feat, yf, 0.2, 1e-4, backend="matmul")
+
+    calls = {"inv_fwd6": 0}
+    orig = fft_ops.rfft2_matmul
+
+    def spy(x, einsum=None):
+        if einsum is fft_ops._einsum_inv:
+            calls["inv_fwd6"] += 1
+        return orig(x, einsum)
+
+    monkeypatch.setattr(fft_ops, "rfft2_matmul", spy)
+    kcf_ops.detect(model, feat, 0.2, backend="matmul")
+    assert calls["inv_fwd6"] == 1, calls   # exactly the rfft2(k) in detect
+    calls["inv_fwd6"] = 0
+    kcf_ops.train(feat, yf, 0.2, 1e-4, backend="matmul")
+    assert calls["inv_fwd6"] == 0, calls   # train's k^xx stays divide-class
+
+
+def test_stacked_chain_matches_perterm(monkeypatch):
+    """The stacked 2-matmul formulation must agree with the 6-matmul
+    per-term chain (same dot products, different batching — only fp
+    reassociation in irfft2's fused stage-2 reduction separates them)
+    on both round trips and raw spectra, odd and even widths."""
+    rng = np.random.default_rng(21)
+    for h, w in ((64, 64), (32, 48), (16, 17)):
+        x = jnp.asarray(rng.standard_normal((3, h, w)).astype(np.float32))
+        base_f = fft_ops.rfft2(x, backend="matmul")
+        base_x = fft_ops.irfft2(base_f, w, backend="matmul")
+        monkeypatch.setattr(fft_ops, "_STACKED", True)
+        got_f = fft_ops.rfft2(x, backend="matmul")
+        got_x = fft_ops.irfft2(got_f, w, backend="matmul")
+        monkeypatch.setattr(fft_ops, "_STACKED", False)
+        np.testing.assert_allclose(np.asarray(got_f.re),
+                                   np.asarray(base_f.re),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_f.im),
+                                   np.asarray(base_f.im),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_x), np.asarray(base_x),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_x), np.asarray(x),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_stacked_chain_full_tracker_step(monkeypatch):
+    """KCF train+detect under the stacked chain stays within f32 parity
+    of the per-term chain (CPU tier; the TPU throughput A/B lives in
+    tools/ — this pins correctness of the rewiring)."""
+    from tpu_mot.ops import kcf as kcf_ops
+
+    rng = np.random.default_rng(22)
+    t, c, s = 3, 2, 32
+    feat = jnp.asarray(rng.standard_normal((t, c, s, s)).astype(np.float32))
+    yf = kcf_ops.make_yf(s, 2.5, 0.125, backend="matmul")
+    model = kcf_ops.train(feat, yf, 0.2, 1e-4, backend="matmul")
+    base = np.asarray(kcf_ops.detect(model, feat, 0.2, backend="matmul"))
+    monkeypatch.setattr(fft_ops, "_STACKED", True)
+    model2 = kcf_ops.train(feat, yf, 0.2, 1e-4, backend="matmul")
+    got = np.asarray(kcf_ops.detect(model2, feat, 0.2, backend="matmul"))
+    monkeypatch.setattr(fft_ops, "_STACKED", False)
+    np.testing.assert_allclose(got, base, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(model2.alphaf.re),
+                               np.asarray(model.alphaf.re),
+                               rtol=1e-3, atol=1e-3)
+
+

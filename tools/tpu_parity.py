@@ -229,6 +229,27 @@ def check_kcf():
     results["kcf detect XLA-path maxabs vs f64 (context)"] = float(
         np.abs(xla - resp64).max())
 
+    # Detect response under the SHIPPED fwd_high mode, where the
+    # response-class assignment puts detect's rfft2(k) at DEFAULT
+    # (ops/kcf.gaussian_correlation response_only).  Measured envelope
+    # on the v5e: 4.0e-2 relative (tools/bench_respclass_r4.log run,
+    # 2026-08-19) — an order above the inverse-only bf16 error because
+    # the forward DFT of k now rounds too, but still behaviorally
+    # invisible: the sub-pixel peak, PSR gate, bench MOTA 0.9688 and
+    # the bounce fixture (IDF1 0.9873, the probe that DOES catch the
+    # divide-class corruption at 0.70) are all unchanged.  The bound
+    # here is a regression tripwire at 2x the measured value, not an
+    # accuracy requirement — the behavioral gates live in
+    # tools/bounce_fixture_tpu.py and bench.py's MOTA sanity.
+    from tpu_mot.ops import fft as _fft_ops
+    with _fft_ops.precision_scope("fwd_high"):
+        xla_fh = np.asarray(jax.jit(
+            lambda m, f: kcf_ops.detect(m, f, 0.2, backend="matmul"))(
+                model, feat))
+    rel_fh = float(np.abs(xla_fh - resp64).max()) / scale
+    results["kcf detect fwd_high (response-class fwd) rel-err"] = rel_fh
+    assert rel_fh < 8e-2, rel_fh
+
     # Train: float64 oracle (comparing against the XLA path instead would
     # measure ITS default-precision error, ~1e-3 relative, not the
     # kernel's).

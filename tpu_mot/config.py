@@ -203,7 +203,9 @@ class TrackerConfig:
     # Pallas kernel gets "highest" (Mosaic supports only HIGHEST/DEFAULT
     # dots; "highest" = 6-pass f32, 3.6e-7 vs float64 oracle,
     # tools/bench_kcf_v2_r2.log).  Explicit values: "highest" | "high" |
-    # "fwd_high" | "default" (the last three XLA-chain only).
+    # "fwd_high" | "default" (the last three XLA-chain only).  A
+    # "fwd_split" constant-split mode was measured accuracy-equal to
+    # "default" and removed — see ops/fft._MODES' comment for the record.
     kcf_precision: str = "auto"
     # Fused-kernel tracks per grid program (16 swept best on the v5e).
     kcf_block: int = 16

@@ -47,7 +47,15 @@ _DEFAULT_BACKEND = "matmul"
 _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
                "high": jax.lax.Precision.HIGH,
                "default": jax.lax.Precision.DEFAULT}
-# mode -> (forward precision, inverse precision)
+# mode -> (forward precision, inverse precision).
+# A "fwd_split" mode (2-pass dots against an exact bf16-hi + f32-lo
+# decomposition of the trace-time-constant DFT matrix) was built and
+# measured r4 (tools/tpu_parity_r4d.log): alphaf rel-err 0.0239 vs
+# default's 0.0237 — indistinguishable, because the DATA operand's
+# single bf16 rounding dominates the divide-class error; sparing the
+# constant's rounding buys nothing.  Only operand-splitting the data
+# (exactly what HIGH's 3-pass form does) rescues the spectral divide.
+# Mode removed; this comment is the record.
 _MODES = {"highest": ("highest", "highest"),
           "high": ("high", "high"),
           "fwd_high": ("high", "default"),
@@ -90,6 +98,9 @@ def precision_scope(mode: str):
 import os as _os
 _FWD_OVR = _os.environ.get("TPU_MOT_FFT_FWD_PREC")
 _INV_OVR = _os.environ.get("TPU_MOT_FFT_INV_PREC")
+# Stacked-DFT formulation A/B (see rfft2_matmul's docstring): same dot
+# products, 6 matmuls -> 2 per transform.  Default pending TPU evidence.
+_STACKED = _os.environ.get("TPU_MOT_FFT_STACKED", "0") == "1"
 
 
 def _einsum_fwd(*args):
@@ -138,6 +149,24 @@ def _idft_mats(n: int, half: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _dft_mats_stacked(n: int, half: bool):
+    """[re; im] row-stacked forward DFT matrix, [2*rows, n]."""
+    return np.concatenate(_dft_mats(n, half), axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_row_stacked(n: int):
+    """[re; im] row-stacked inverse basis, [2n, n] (full spectrum)."""
+    return np.concatenate(_idft_mats(n, half=False), axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_col_stacked(n: int):
+    """[re | im] column-stacked half inverse basis, [n, 2*(n//2+1)]."""
+    return np.concatenate(_idft_mats(n, half=True), axis=1)
+
+
+@functools.lru_cache(maxsize=None)
 def _hermitian_weights(w: int):
     """Column weights folding the conjugate-symmetric half back in: 2 for
     interior columns, 1 for DC and (even w) Nyquist."""
@@ -149,23 +178,46 @@ def _hermitian_weights(w: int):
     return wts
 
 
-def rfft2_matmul(x: jnp.ndarray) -> CF:
+def rfft2_matmul(x: jnp.ndarray, einsum=None) -> CF:
     """2-D real FFT over the last two axes via MXU matmuls.
 
     Y = F_H @ X @ F_W^T with F_W truncated to the half spectrum:
     6 real matmuls, batched over every leading axis.
+
+    einsum selects the precision class (default the forward/divide
+    class; rfft2(response_class=True) passes the inverse/response-
+    rendering class — see rfft2's docstring).
+
+    Two element-identical formulations, selected by TPU_MOT_FFT_STACKED
+    (A/B experiment knob; every output element is the same dot product
+    either way, only the batching of the dots changes):
+      * per-term — 6 matmuls against the separate re/im DFT matrices.
+      * stacked — 2 matmuls against [re; im] row-stacked matrices; the
+        four stage-2 products land as quadrants of one [..., 2H, 2Wf]
+        result and re-combine with two adds.  Fewer, larger dots: the
+        output lane dim grows Wf=33 → 2Wf=66, halving the MXU's
+        pad-to-128 lane waste at the KCF template shape.
     """
+    e = einsum or _einsum_fwd
     h, w = x.shape[-2], x.shape[-1]
+    wf = w // 2 + 1
+    if _STACKED:
+        b2 = _dft_mats_stacked(w, half=True)    # [2Wf, W]
+        a2 = _dft_mats_stacked(h, half=False)   # [2H, H]
+        z1 = e("...hw,fw->...hf", x, b2)        # [..., H, 2Wf] = [P | Q]
+        z2 = e("gh,...hf->...gf", a2, z1)       # [..., 2H, 2Wf]
+        # Quadrants: [[Ar@P, Ar@Q], [Ai@P, Ai@Q]]
+        yr = z2[..., :h, :wf] - z2[..., h:, wf:]
+        yi = z2[..., :h, wf:] + z2[..., h:, :wf]
+        return CF(yr, yi)
     ar, ai = _dft_mats(h, half=False)       # [H, H]
     br, bi = _dft_mats(w, half=True)        # [Wf, W]
     # P + iQ = X @ B^T  (X real)
-    p = _einsum_fwd("...hw,fw->...hf", x, br)
-    q = _einsum_fwd("...hw,fw->...hf", x, bi)
+    p = e("...hw,fw->...hf", x, br)
+    q = e("...hw,fw->...hf", x, bi)
     # (Ar + iAi) @ (P + iQ)
-    yr = _einsum_fwd("gh,...hf->...gf", ar, p) - _einsum_fwd(
-        "gh,...hf->...gf", ai, q)
-    yi = _einsum_fwd("gh,...hf->...gf", ar, q) + _einsum_fwd(
-        "gh,...hf->...gf", ai, p)
+    yr = e("gh,...hf->...gf", ar, p) - e("gh,...hf->...gf", ai, q)
+    yi = e("gh,...hf->...gf", ar, q) + e("gh,...hf->...gf", ai, p)
     return CF(yr, yi)
 
 
@@ -173,12 +225,27 @@ def irfft2_matmul(yf: CF, w: int) -> jnp.ndarray:
     """Inverse of rfft2_matmul: real output [..., H, w] from the half
     spectrum [..., H, w//2+1], using Hermitian column folding.
 
-    x = Re(E_H @ (wts * Y) @ E_W^T) / (H*w); 6 real matmuls.
+    x = Re(E_H @ (wts * Y) @ E_W^T) / (H*w); 6 real matmuls — or 2 in
+    the stacked formulation (see rfft2_matmul): stage 1 row-stacks the
+    basis and lane-concats [Yr | Yi]; stage 2 folds M Gr^T - N Gi^T
+    into ONE dot by concatenating [M | -N] along the contraction dim
+    against [Gr | Gi].
     """
     h = yf.re.shape[-2]
+    wts = _hermitian_weights(w)
+    wf = yf.re.shape[-1]
+    if _STACKED:
+        e2 = _idft_row_stacked(h)               # [2H, H]
+        g2 = _idft_col_stacked(w)               # [w, 2Wf]
+        ycat = jnp.concatenate([yf.re * wts, yf.im * wts], axis=-1)
+        z = _einsum_inv("gh,...hf->...gf", e2, ycat)   # [..., 2H, 2Wf]
+        m = z[..., :h, :wf] - z[..., h:, wf:]
+        n = z[..., :h, wf:] + z[..., h:, :wf]
+        mn = jnp.concatenate([m, -n], axis=-1)         # [..., H, 2Wf]
+        x = _einsum_inv("...mf,nf->...mn", mn, g2)
+        return x / (h * w)
     er, ei = _idft_mats(h, half=False)      # [H, H]
     gr, gi = _idft_mats(w, half=True)       # [w, Wf]
-    wts = _hermitian_weights(w)
     yr = yf.re * wts
     yi = yf.im * wts
     # M + iN = E_H @ Yw
@@ -192,14 +259,28 @@ def irfft2_matmul(yf: CF, w: int) -> jnp.ndarray:
     return x / (h * w)
 
 
-def rfft2(x: jnp.ndarray, backend: str | None = None) -> CF:
-    """Batched 2-D rFFT over the last two axes → CF half spectrum."""
+def rfft2(x: jnp.ndarray, backend: str | None = None,
+          response_class: bool = False) -> CF:
+    """Batched 2-D rFFT over the last two axes → CF half spectrum.
+
+    response_class=True assigns this transform to the RESPONSE-RENDERING
+    precision class (the mode's inverse slot) instead of the
+    divide-feeding forward class.  Rationale (r4 asymmetry finding,
+    tools/tpu_parity_r4b.log + the bounce-fixture bisection): bf16 error
+    in spectra that reach train()'s spectral divide corrupts alphaf
+    multiplicatively, while spectra that only render a response surface
+    tolerate bf16 (the sub-pixel peak is insensitive at ~2e-3 relative
+    noise).  detect()'s forward DFT of the correlation surface k is
+    response-only, so under "fwd_high" it rides DEFAULT with the
+    inverse transforms rather than paying the 3-pass HIGH premium.
+    On CPU (f32 exact) and in uniform modes (fwd==inv) this is a no-op.
+    """
     backend = backend or _DEFAULT_BACKEND
     if backend == "xla":
         yf = jnp.fft.rfft2(x)
         return CF(jnp.real(yf).astype(jnp.float32),
                   jnp.imag(yf).astype(jnp.float32))
-    return rfft2_matmul(x)
+    return rfft2_matmul(x, _einsum_inv if response_class else None)
 
 
 def irfft2(yf: CF, w: int, backend: str | None = None) -> jnp.ndarray:

@@ -51,7 +51,8 @@ def _parseval_energy(xf: CF, width: int) -> jnp.ndarray:
 
 
 def gaussian_correlation(xf: CF, zf: CF, sigma: float, width: int,
-                         backend: str | None = None) -> CF:
+                         backend: str | None = None,
+                         response_only: bool = False) -> CF:
     """Gaussian-kernel correlation k^{xz} for all cyclic shifts, in one shot.
 
     arXiv:1404.7584 eq. 31:
@@ -60,6 +61,12 @@ def gaussian_correlation(xf: CF, zf: CF, sigma: float, width: int,
     sum_c X_c * conj(Z_c).
 
     xf, zf : [..., C, S, Sf] spectra.  Returns k_f = rfft2(k) [..., S, Sf].
+
+    response_only=True marks the returned spectrum as feeding ONLY a
+    response surface (detect's k^{xz} → irfft(kf·alphaf)), so its
+    forward DFT runs in the response-rendering precision class; train's
+    k^{xx} feeds the spectral divide and keeps the divide-class forward
+    (see ops/fft.rfft2 response_class for the measured asymmetry).
     """
     s = xf.re.shape[-2]
     c = xf.re.shape[-3]
@@ -70,7 +77,7 @@ def gaussian_correlation(xf: CF, zf: CF, sigma: float, width: int,
     numel = s * width * c
     d = (xx + zz)[..., None, None] - 2.0 * cross
     k = jnp.exp(-jnp.maximum(d, 0.0) / (sigma * sigma * numel))
-    return fft_ops.rfft2(k, backend)
+    return fft_ops.rfft2(k, backend, response_class=response_only)
 
 
 def train(feat: jnp.ndarray, yf: CF, sigma: float, lambda_: float,
@@ -150,7 +157,8 @@ def detect(model: KCFModel, feat: jnp.ndarray, sigma: float,
     """
     s = feat.shape[-1]
     zf = fft_ops.rfft2(feat, backend)
-    kf = gaussian_correlation(zf, model.xf, sigma, s, backend)
+    kf = gaussian_correlation(zf, model.xf, sigma, s, backend,
+                              response_only=True)
     return fft_ops.irfft2(kf * model.alphaf, s, backend)
 
 
