@@ -68,10 +68,12 @@ def test_backends_agree_on_cross_spectrum():
 
 
 def test_response_class_rfft2_selects_inverse_precision(monkeypatch):
-    """rfft2(response_class=True) must route all 6 forward matmuls
-    through the INVERSE (response-rendering) precision class and be
-    numerically identical on CPU (precision is a TPU-only distinction).
-    Rationale in ops/fft.rfft2's docstring (r4 asymmetry finding)."""
+    """rfft2(response_class=True) must route ALL its matmuls (6 per-term
+    or 2 stacked, per TPU_MOT_FFT_STACKED) through the INVERSE
+    (response-rendering) precision class and be numerically identical on
+    CPU (precision is a TPU-only distinction).  Rationale in
+    ops/fft.rfft2's docstring (r4 asymmetry finding)."""
+    n_dots = 2 if fft_ops._STACKED else 6
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((3, 64, 64)).astype(np.float32))
     base = fft_ops.rfft2(x, backend="matmul")
@@ -90,13 +92,13 @@ def test_response_class_rfft2_selects_inverse_precision(monkeypatch):
     monkeypatch.setattr(fft_ops, "_einsum_fwd", fwd)
     monkeypatch.setattr(fft_ops, "_einsum_inv", inv)
     got = fft_ops.rfft2(x, backend="matmul", response_class=True)
-    assert calls == {"fwd": 0, "inv": 6}, calls
+    assert calls == {"fwd": 0, "inv": n_dots}, calls
     np.testing.assert_array_equal(np.asarray(got.re), np.asarray(base.re))
     np.testing.assert_array_equal(np.asarray(got.im), np.asarray(base.im))
 
     calls["inv"] = 0
     fft_ops.rfft2(x, backend="matmul", response_class=False)
-    assert calls == {"fwd": 6, "inv": 0}, calls
+    assert calls == {"fwd": n_dots, "inv": 0}, calls
 
 
 def test_detect_response_only_wiring(monkeypatch):

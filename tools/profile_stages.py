@@ -113,20 +113,29 @@ def main() -> None:
     stages["features_window"] = measure(feat_body, feat0[:, 0],
                                         lambda c: c[0, 0, 0])
 
-    # KCF detect math (XLA chain) / train+blend math.
+    # KCF detect math (XLA chain) / train+blend math — measured AT THE
+    # SHIPPED precision point (cfg.kcf_precision auto->fwd_high; the
+    # module default outside a scope is "highest", which the r4
+    # profile_stages_r4.log numbers reflect — they overstate the KCF
+    # block vs what bench.py actually runs).
+    from tpu_mot.ops import fft as fft_ops
+    shipped_mode = cfg.kcf_precision_resolved
+
     def det_body(f, _):
         r = kcf_ops.detect(model0, f, 0.2)
         return r[:, None] * 0.5 + feat0 * 0.5, None
-    stages["kcf_detect_math_xla"] = measure(det_body, feat0,
-                                            lambda c: c[0, 0, 0, 0])
+    with fft_ops.precision_scope(shipped_mode):
+        stages[f"kcf_detect_math_xla ({shipped_mode})"] = measure(
+            det_body, feat0, lambda c: c[0, 0, 0, 0])
 
     def trn_body(m, _):
         # Features must depend on the carry or XLA hoists the entire
         # train() out of the scan (first attempt measured ~0 ms).
         f = feat0 * (1.0 + jnp.mean(m.alphaf.re) * 1e-9)
         return kcf_ops.blend(m, kcf_ops.train(f, yf, 0.2, 1e-4), lr), None
-    stages["kcf_train_math_xla"] = measure(trn_body, model0,
-                                           lambda m: m.alphaf.re[0, 0, 0])
+    with fft_ops.precision_scope(shipped_mode):
+        stages[f"kcf_train_math_xla ({shipped_mode})"] = measure(
+            trn_body, model0, lambda m: m.alphaf.re[0, 0, 0])
 
     # Peak + subpixel + PSR.
     def peak_body(r, _):
