@@ -158,6 +158,21 @@ def main() -> None:
     stages["cost_plus_auction"] = measure(asg_body, boxes,
                                           lambda c: c[0, 0])
 
+    # Same block at the SHIPPED impl (assign_impl auto -> pallas on TPU;
+    # the default-arg call above measures the XLA while_loop solver —
+    # r4c logs' 0.15 ms outlier was that, not a regression).
+    if jax.default_backend() == "tpu":
+        def asg_body_pallas(b, _):
+            cost = iou_ops.association_cost(b, dets[:, :4], alive, dvalid,
+                                            cfg.iou_gate,
+                                            cfg.cost_infeasible)
+            feasible = cost < cfg.cost_infeasible * 0.5
+            m, it, conv = assignment.auction_assign_stats(cost, feasible,
+                                                          impl="pallas")
+            return b + jnp.sum(m).astype(jnp.float32) * 1e-12, None
+        stages["cost_plus_auction (pallas, shipped)"] = measure(
+            asg_body_pallas, boxes, lambda c: c[0, 0])
+
     # Kalman predict + correct.
     mean0, cov0 = kalman.init(boxes, cfg.kalman)
 
