@@ -19,10 +19,13 @@ BN(eps 1e-5), leaky 0.1, pool SAME):
   s2d4    conv1 at 104^2 cells [*,*,16]->256ch, paired posmax -> 64ch,
           conv2 ->128ch, posmax  (whole stem on one 104^2 grid)
 
-Exactness vs the direct composition is asserted in f32 on whatever
-backend runs this (atol 2e-5 — conv accumulation-order class); timing
-uses the dependent-chain marginal method.  Run on the TPU; commit the
-log.
+Exactness vs the direct composition is asserted in f32 with conv
+precision pinned HIGHEST (atol 2e-5 — conv accumulation-order class;
+at DEFAULT the TPU computes "f32" convs in bf16 passes and the
+direct-vs-s2d accumulation difference measures ~6e-3, which is dtype
+rounding, not scatter error — first run 2026-08-19); timing uses the
+dependent-chain marginal method at bf16 DEFAULT, the serving point.
+Run on the TPU; commit the log.
 """
 
 import json
@@ -104,10 +107,11 @@ def main() -> None:
            rng.uniform(0.5, 2, 32).astype(np.float32)]
     gray = rng.random((b, hw, hw)).astype(np.float32)
 
-    def conv(x, w, dt):
+    def conv(x, w, dt, prec=None):
         return jax.lax.conv_general_dilated(
             x.astype(dt), jnp.asarray(w, dt), (1, 1),
-            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=prec)
 
     def bn_lrelu(x, p, tile=1):
         sc, bi, mu, va = [jnp.tile(jnp.asarray(q, x.dtype), tile)
@@ -132,11 +136,11 @@ def main() -> None:
         return x.reshape(bb, h, w, groups, c // groups).max(axis=3)
 
     # -- direct (shipped): gray -> 3ch -> conv1 -> pool -> conv2 -> pool
-    def direct(g, dt):
+    def direct(g, dt, prec=None):
         x = jnp.repeat(g[..., None], 3, axis=-1)
-        x = bn_lrelu(conv(x, w1, dt), bn1)
+        x = bn_lrelu(conv(x, w1, dt, prec), bn1)
         x = pool(x)
-        x = bn_lrelu(conv(x, w2, dt), bn2)
+        x = bn_lrelu(conv(x, w2, dt, prec), bn2)
         return pool(x)
 
     # -- s2d2
@@ -144,12 +148,12 @@ def main() -> None:
     w1_s2 = stem_kernel_s2d(w1g, 2)                # [3,3,4,64]
     w2_s2 = stem_kernel_s2d(w2, 2)                 # [3,3,64,128]
 
-    def cand_s2d2(g, dt):
+    def cand_s2d2(g, dt, prec=None):
         x = s2d(g[..., None], 2)                   # [B,208,208,4]
-        x = bn_lrelu(conv(x, w1_s2, dt), bn1, tile=4)
+        x = bn_lrelu(conv(x, w1_s2, dt, prec), bn1, tile=4)
         x = posmax(x, 4)                           # pool1 -> [B,208,208,16]
         x = s2d(x, 2)                              # [B,104,104,64]
-        x = bn_lrelu(conv(x, w2_s2, dt), bn2, tile=4)
+        x = bn_lrelu(conv(x, w2_s2, dt, prec), bn2, tile=4)
         return posmax(x, 4)                        # pool2 -> [B,104,104,32]
 
     # -- s2d4: conv1 on the 104^2 grid, paired posmax re-packs to the
@@ -162,18 +166,21 @@ def main() -> None:
         x = x.max(axis=(4, 6))                     # max over (dy,dx)
         return x.reshape(bb, h, w, 64)             # (py2*2+px2)*16+o
 
-    def cand_s2d4(g, dt):
+    def cand_s2d4(g, dt, prec=None):
         x = s2d(g[..., None], 4)                   # [B,104,104,16]
-        x = bn_lrelu(conv(x, w1_s4, dt), bn1, tile=16)
+        x = bn_lrelu(conv(x, w1_s4, dt, prec), bn1, tile=16)
         x = pool1_s4(x)                            # [B,104,104,64]
-        x = bn_lrelu(conv(x, w2_s2, dt), bn2, tile=4)
+        x = bn_lrelu(conv(x, w2_s2, dt, prec), bn2, tile=4)
         return posmax(x, 4)                        # [B,104,104,32]
 
-    # -- exactness (f32, this backend)
+    # -- exactness (f32 at HIGHEST conv precision — at DEFAULT the TPU
+    #    runs "f32" convs in bf16 passes and accumulation-order noise
+    #    between Cin=3 and Cin=48 formulations is ~6e-3, pure rounding)
+    hi = jax.lax.Precision.HIGHEST
     g_small = jnp.asarray(gray[:2])
-    ref = np.asarray(direct(g_small, jnp.float32))
+    ref = np.asarray(direct(g_small, jnp.float32, hi))
     for name, fn in [("s2d2", cand_s2d2), ("s2d4", cand_s2d4)]:
-        got = np.asarray(fn(g_small, jnp.float32))
+        got = np.asarray(fn(g_small, jnp.float32, hi))
         err = float(np.max(np.abs(got - ref)))
         print(json.dumps({"check": f"{name} vs direct (f32 atol)",
                           "max_abs_err": err, "ok": err < 2e-5}),
@@ -191,7 +198,7 @@ def main() -> None:
             d = (y[0, 0, 0, 0] * 1e-12).astype(x.dtype)
             return x + d, None
         emit(f"stem_{name} (bf16, b{b}, {hw}^2 gray -> {hw // 4}^2 x32)",
-             measure(body, g0, lambda c: c[0, 0, 0, 0]))
+             measure(body, g0, lambda c: c[0, 0, 0]))
 
     # -- layout cost alone
     def body_l(x, _):

@@ -51,7 +51,14 @@ def detect_batch(params, frames: jnp.ndarray, spec: YoloSpec,
     s = spec.input_size
     if f.ndim == 3:
         f = jax.image.resize(f, (f.shape[0], s, s), "bilinear")
-        f = jnp.repeat(f[..., None], 3, axis=-1).astype(jnp.float32)
+        if spec.stem == "s2d4":
+            # The s2d stem folds its first kernel over Cin for
+            # replicated channels (yolo.ConvBlock._s2d_call gray path),
+            # so a gray frame feeds the net as ONE channel — the
+            # 3-channel broadcast is never materialized.
+            f = f[..., None].astype(jnp.float32)
+        else:
+            f = jnp.repeat(f[..., None], 3, axis=-1).astype(jnp.float32)
     else:
         f = jax.image.resize(f, (f.shape[0], s, s, 3),
                              "bilinear").astype(jnp.float32)

@@ -24,10 +24,12 @@ and NMS run on device so detect() is one jitted program per frame batch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 # Canonical anchor sets (pixels at the native 416x416 input), public YOLO
@@ -83,8 +85,38 @@ class YoloSpec:
     # against (the train/eval gap at 0.99 needs thousands of steps to
     # close).
     bn_momentum: float = 0.99
+    # Early-layer formulation.  "direct" = the darknet composition
+    # (conv Cin=3 @ full res -> pool -> conv -> pool).  "s2d4" = the
+    # exact space-to-depth rewrite: the whole stem runs on the
+    # (input/4)^2 grid with the conv taps scattered into
+    # (cell-offset, subpixel) kernel slots and the maxpools collapsed
+    # to channel-group maxes — same math, MXU-friendly channel counts.
+    # Measured on the v5e (tools/profile_stem_r5.log, 2026-08-19, b8
+    # 416^2 bf16): direct 2.098 ms / s2d2 1.251 / s2d4 0.732 — the
+    # shipped stem was the backbone's lane-padding pathology (~7% MXU,
+    # tools/profile_backbone_r4e.log); only the winner (s2d4) is
+    # implemented.  The param tree is IDENTICAL to "direct" (the
+    # scatter is an apply-time transform of the canonical kernels), so
+    # darknet .weights loads and checkpoints are stem-agnostic and a
+    # net can train "direct" and serve "s2d4".  Inference-only
+    # (supported: yolov3-tiny, yolov2-tiny, yolov2 — the pooled-stem
+    # variants; yolov3's strided convs have no pool to collapse).
+    stem: str = "direct"
 
     def __post_init__(self):
+        if self.stem not in ("direct", "s2d4"):
+            raise ValueError(f"unknown stem {self.stem!r}; "
+                             "have ('direct', 's2d4')")
+        if self.stem == "s2d4":
+            if self.name == "yolov3":
+                raise ValueError("yolov3's strided-conv stem has no pools "
+                                 "to collapse; stem='s2d4' supports the "
+                                 "pooled variants (yolov3-tiny, yolov2, "
+                                 "yolov2-tiny)")
+            if self.dtype == "int8":
+                raise ValueError("stem='s2d4' is implemented for the "
+                                 "f32/bf16 conv path (int8 serves the "
+                                 "direct stem)")
         if self.anchors is None:
             if self.name not in _CANONICAL_ANCHORS:
                 raise ValueError(
@@ -160,6 +192,70 @@ class _QuantConv(nn.Module):
         return y
 
 
+@functools.lru_cache(maxsize=None)
+def _s2d_scatter(s: int) -> np.ndarray:
+    """0/1 placement tensor for the space-to-depth kernel rewrite.
+
+    A 3x3 stride-1 conv on X equals a 3x3 conv on s2d(X) with each tap
+    (u, v) scattered into a (cell-tap, subpixel-block, cell-offset-block)
+    slot: output block q = ey*s+ex of a cell is the conv output at pixel
+    (s*I+ey, s*J+ex); tap (u, v) reads pixel offset a = ey+u-1, which
+    lives at cell offset divmod(a, s)[0] and subpixel block
+    divmod(a, s)[1].  Cell-level zero padding reproduces SAME padding
+    exactly (taps never reach beyond one pixel outside the frame).
+    Returns S[u, v, a, b, p, q] in {0, 1} with p = dy*s+dx, q = ey*s+ex;
+    the scattered kernel is einsum('uvabpq,uvio->abpiqo', S, w)
+    reshaped to [3, 3, s*s*Cin, s*s*Co].  (u, a, ey, ...) determine each
+    other uniquely, so no two taps share a slot and placement is exact
+    (exactness asserted at 3e-7 f32/HIGHEST, tools/profile_stem_r5.log).
+    """
+    m = np.zeros((3, 3, 3, 3, s * s, s * s), np.float32)
+    for ey in range(s):
+        for ex in range(s):
+            for u in range(3):
+                for v in range(3):
+                    da, dy = divmod(ey + u - 1, s)
+                    db, dx = divmod(ex + v - 1, s)
+                    m[u, v, da + 1, db + 1, dy * s + dx, ey * s + ex] = 1.0
+    return m
+
+
+def _scatter_kernel(w: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Apply-time s2d rewrite of a [3, 3, Cin, Co] kernel →
+    [3, 3, s²·Cin, s²·Co] (see _s2d_scatter)."""
+    cin, co = w.shape[2], w.shape[3]
+    out = jnp.einsum("uvabpq,uvio->abpiqo",
+                     jnp.asarray(_s2d_scatter(s), w.dtype), w)
+    return out.reshape(3, 3, s * s * cin, s * s * co)
+
+
+class _ConvKernel(nn.Module):
+    """Param-holder matching nn.Conv's tree ({"kernel"}) so the s2d stem
+    shares parameters with the direct formulation byte-for-byte."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class _BNParams(nn.Module):
+    """Param-holder matching nn.BatchNorm's tree (params scale/bias,
+    batch_stats mean/var)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean", jnp.zeros,
+                             (self.features,), jnp.float32)
+        var = self.variable("batch_stats", "var", jnp.ones,
+                            (self.features,), jnp.float32)
+        return scale, bias, mean.value, var.value
+
+
 class ConvBlock(nn.Module):
     """Conv + BatchNorm + LeakyReLU — darknet's standard block."""
     features: int
@@ -170,9 +266,17 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.99
     quant: bool = False        # int8 inference path (spec.dtype="int8")
+    # Space-to-depth stem rewrite (spec.stem="s2d4"): > 1 selects the
+    # cell factor the input grid is packed by; s2d_cin is the CANONICAL
+    # kernel input-channel count (the declared param keeps the direct
+    # shape [k, k, s2d_cin, features] — see _scatter_kernel).
+    s2d_cells: int = 1
+    s2d_cin: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.s2d_cells > 1:
+            return self._s2d_call(x, train)
         # darknet pads k//2 on BOTH sides.  XLA's "SAME" agrees at
         # stride 1 but pads (0, 1) at stride 2, sampling one pixel later
         # than darknet's (1, 1) — a spatial shift that compounds across
@@ -200,9 +304,90 @@ class ConvBlock(nn.Module):
             x = nn.leaky_relu(x, 0.1)
         return x
 
+    def _s2d_call(self, x, train):
+        """Space-to-depth formulation of conv+BN+leaky: the conv runs on
+        the packed [B, H/s... , s²·Cin] grid against the scattered
+        kernel; BN parameters (per canonical output channel) tile s²×
+        across the cell-offset blocks.  Exact rewrite of the direct
+        block (placement proof in _s2d_scatter); inference-only — the
+        param tree is shared with "direct", so train direct and serve
+        s2d (batch-stat updates in packed space would additionally need
+        the per-position reduction, which nothing serving needs)."""
+        if train:
+            raise ValueError(
+                "stem='s2d4' is inference-only; train with stem='direct'"
+                " (identical parameters) and serve with s2d4")
+        if self.quant or not self.use_bn or self.stride != 1 \
+                or self.kernel != 3:
+            raise ValueError("s2d ConvBlock supports only the 3x3 "
+                             "stride-1 BN stem blocks (got quant="
+                             f"{self.quant}, use_bn={self.use_bn}, "
+                             f"stride={self.stride}, k={self.kernel})")
+        s2 = self.s2d_cells
+        w = _ConvKernel((3, 3, self.s2d_cin, self.features),
+                        name="conv")()
+        if x.shape[-1] == s2 * s2:
+            # Gray fast path: the caller packed a single-channel frame,
+            # so the canonical Cin channels would all see the same
+            # values — fold the kernel over Cin first (exact for
+            # replicated channels: conv(repeat(g, C), w) ==
+            # conv(g, w.sum(Cin))).
+            w = w.sum(axis=2, keepdims=True)
+        elif x.shape[-1] != s2 * s2 * self.s2d_cin:
+            raise ValueError(
+                f"s2d input has {x.shape[-1]} channels; expected "
+                f"{s2 * s2} (gray) or {s2 * s2 * self.s2d_cin}")
+        w = _scatter_kernel(w, s2).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        scale, bias, mean, var = _BNParams(self.features, name="bn")()
+        tile = lambda p: jnp.tile(p.astype(self.dtype), s2 * s2)
+        y = ((y - tile(mean)) * jax.lax.rsqrt(tile(var) + 1e-5)
+             * tile(scale) + tile(bias))
+        if self.act:
+            y = nn.leaky_relu(y, 0.1)
+        return y
+
 
 def _maxpool(x, stride=2):
     return nn.max_pool(x, (2, 2), strides=(stride, stride), padding="SAME")
+
+
+def _posmax(x, groups):
+    """2x2 stride-2 maxpool in s2d-packed space: max over the `groups`
+    leading cell-offset blocks per output channel."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w, groups, c // groups).max(axis=3)
+
+
+def _stem_pool_s4(x, co):
+    """First stem maxpool in s2d4-packed space: block index
+    (ey*4+ex)·co+o decomposes as ey = 2·py2+dy, ex = 2·px2+dx; a 2x2
+    stride-2 maxpool is the max over (dy, dx), and the survivors
+    re-pack as the s2d2 block order (py2*2+px2)·co+o the second
+    (s=2-scattered) conv kernel expects."""
+    b, h, w, _ = x.shape
+    x = x.reshape(b, h, w, 2, 2, 2, 2, co)
+    x = x.max(axis=(4, 6))
+    return x.reshape(b, h, w, 4 * co)
+
+
+def _stem_s2d4(x, cb, f1, f2, train):
+    """Space-to-depth rewrite of the pooled YOLO stem:
+    conv(3→f1) → pool → conv(f1→f2) → pool, computed entirely on the
+    (H/4, W/4) grid.  x is [B, H, W, 1] (gray fast path) or
+    [B, H, W, 3]; returns [B, H/4, W/4, f2], exact vs the direct
+    composition (tools/profile_stem_r5.log: 3e-7 f32, 2.9x faster on
+    the v5e at the 416² serving shape)."""
+    if x.shape[1] % 4 or x.shape[2] % 4:
+        raise ValueError(f"s2d4 stem needs H, W divisible by 4; "
+                         f"got {x.shape}")
+    x = _reorg(x, 4)                       # [B, H/4, W/4, 16·Cin]
+    x = cb(f1, s2d_cells=4, s2d_cin=3)(x, train)
+    x = _stem_pool_s4(x, f1)               # [B, H/4, W/4, 4·f1]
+    x = cb(f2, s2d_cells=2, s2d_cin=f1)(x, train)
+    return _posmax(x, 4)                   # [B, H/4, W/4, f2]
 
 
 def _reorg(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
@@ -238,10 +423,13 @@ class YoloV3Tiny(nn.Module):
             quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
-        x = c(16)(x)
-        x = _maxpool(x)
-        x = c(32)(x)
-        x = _maxpool(x)
+        if self.spec.stem == "s2d4":
+            x = _stem_s2d4(x, cb, 16, 32, train)
+        else:
+            x = c(16)(x)
+            x = _maxpool(x)
+            x = c(32)(x)
+            x = _maxpool(x)
         x = c(64)(x)
         x = _maxpool(x)
         x = c(128)(x)
@@ -282,7 +470,12 @@ class YoloV2Tiny(nn.Module):
             f, k, dtype=dt, bn_momentum=self.spec.bn_momentum,
             quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
-        for f in (16, 32, 64, 128, 256):
+        if self.spec.stem == "s2d4":
+            x = _stem_s2d4(x, cb, 16, 32, train)
+            body = (64, 128, 256)
+        else:
+            body = (16, 32, 64, 128, 256)
+        for f in body:
             x = c(f)(x)
             x = _maxpool(x)
         x = c(512)(x)
@@ -313,10 +506,13 @@ class YoloV2(nn.Module):
             quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
-        x = c(32)(x)
-        x = _maxpool(x)
-        x = c(64)(x)
-        x = _maxpool(x)
+        if self.spec.stem == "s2d4":
+            x = _stem_s2d4(x, cb, 32, 64, train)
+        else:
+            x = c(32)(x)
+            x = _maxpool(x)
+            x = c(64)(x)
+            x = _maxpool(x)
         x = c(128)(x)
         x = c(64, k=1)(x)
         x = c(128)(x)

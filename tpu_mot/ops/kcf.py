@@ -148,6 +148,26 @@ def blend(model: KCFModel, new: KCFModel, lr) -> KCFModel:
     )
 
 
+def detect_from_spectrum(model: KCFModel, zf: CF, sigma: float,
+                         width: int, backend: str | None = None
+                         ) -> jnp.ndarray:
+    """detect() when the feature spectrum is already in hand.
+
+    The fused step computes zf itself so the forward-DFT precision class
+    can be routed per scale: under train_site="detect" only the
+    UNIT-scale spectrum reaches train()'s spectral divide (step 8 trains
+    from feats_unit), so the off-scale spectra — response-rendering only
+    — ride the inverse class instead of paying fwd_high's 3-pass HIGH
+    premium (r5 scoping of the r4 asymmetry finding; tracker/step.py).
+
+    zf broadcasts over leading axes against the [T, ...] model (the
+    multi-scale [K, T, C, S, Sf] layout).  Returns [..., S, S] real.
+    """
+    kf = gaussian_correlation(zf, model.xf, sigma, width, backend,
+                              response_only=True)
+    return fft_ops.irfft2(kf * model.alphaf, width, backend)
+
+
 def detect(model: KCFModel, feat: jnp.ndarray, sigma: float,
            backend: str | None = None) -> jnp.ndarray:
     """Correlation response of the model bank on new patches (eq. 22).
@@ -157,9 +177,7 @@ def detect(model: KCFModel, feat: jnp.ndarray, sigma: float,
     """
     s = feat.shape[-1]
     zf = fft_ops.rfft2(feat, backend)
-    kf = gaussian_correlation(zf, model.xf, sigma, s, backend,
-                              response_only=True)
-    return fft_ops.irfft2(kf * model.alphaf, s, backend)
+    return detect_from_spectrum(model, zf, sigma, s, backend)
 
 
 def _resolve_impl(impl: str) -> str:

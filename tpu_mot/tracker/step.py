@@ -171,15 +171,36 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
     pred_boxes = kf_mean[:, :4]
 
     # ---- 2. KCF detect at predicted ROIs -----------------------------
+    # On the XLA chain the feature spectra are computed HERE (not inside
+    # detect) so (a) the forward-DFT precision class routes per scale —
+    # under train_site="detect" only the unit-scale spectrum feeds
+    # train()'s divide (step 8 trains from feats_unit), so off-scale and
+    # train-elsewhere spectra ride the cheap response class (the r4
+    # asymmetry finding, ops/fft.rfft2 response_class) — and (b) the
+    # divide-class unit spectrum is explicitly REUSED by step 8 instead
+    # of recomputed (the [3T]-batched transform and the [T] train
+    # transform were distinct einsums XLA could not CSE).
+    use_xla_kcf = kcf_ops._resolve_impl(cfg.kcf_impl) == "xla"
+    zf_div = None   # divide-class unit-scale spectrum, reused by step 8
     if cfg.use_kcf:
         if cfg.kcf.scale_step == 1.0:
             feats = _features_at(gray, pred_boxes, cfg, levels)
             feats_unit = feats
-            response = kcf_ops.detect_auto(bank.kcf, feats,
-                                           cfg.kcf.kernel_sigma,
-                                           cfg.kcf_impl,
-                                           cfg.kcf_precision_resolved,
-                                           cfg.kcf_block)
+            if use_xla_kcf:
+                with fft_ops.precision_scope(cfg.kcf_precision_resolved):
+                    zf_unit = fft_ops.rfft2(
+                        feats,
+                        response_class=cfg.train_site != "detect")
+                    response = kcf_ops.detect_from_spectrum(
+                        bank.kcf, zf_unit, cfg.kcf.kernel_sigma, s)
+                if cfg.train_site == "detect":
+                    zf_div = zf_unit
+            else:
+                response = kcf_ops.detect_auto(bank.kcf, feats,
+                                               cfg.kcf.kernel_sigma,
+                                               cfg.kcf_impl,
+                                               cfg.kcf_precision_resolved,
+                                               cfg.kcf_block)
             dy, dx, peak = kcf_ops.peak_displacement(response)
             best_scale = jnp.ones((t_cap,), jnp.float32)
             if cfg.confidence_mode == "psr":
@@ -217,9 +238,31 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
                                   scales=scales3)
             f3 = f3.reshape((3, t_cap) + f3.shape[1:])           # [3,T,C,S,S]
             feats_unit = f3[1]
-            r3 = kcf_ops.detect_scales_auto(
-                bank.kcf, f3, cfg.kcf.kernel_sigma, cfg.kcf_impl,
-                cfg.kcf_precision_resolved, cfg.kcf_block)                # [3,T,S,S]
+            if use_xla_kcf:
+                # Per-scale forward-class routing (r5, VERDICT r4 item 3):
+                # the off-scale spectra only ever render responses (scale
+                # selection reads peaks), so they ride the cheap response
+                # class as a [2T] batch; the unit-scale spectrum keeps the
+                # divide class only when step 8 will reuse it for train's
+                # spectral divide.  Before this split the heavy config
+                # paid fwd_high's HIGH premium on a [3T] detect transform
+                # AND a [T] train transform ([3T] vs [T] einsums XLA
+                # cannot CSE) — now it is one [T] HIGH + one [2T] DEFAULT.
+                with fft_ops.precision_scope(cfg.kcf_precision_resolved):
+                    zf_off = fft_ops.rfft2(f3[0::2], response_class=True)
+                    zf_unit = fft_ops.rfft2(
+                        f3[1], response_class=cfg.train_site != "detect")
+                    r_off = kcf_ops.detect_from_spectrum(
+                        bank.kcf, zf_off, cfg.kcf.kernel_sigma, s)
+                    r_unit = kcf_ops.detect_from_spectrum(
+                        bank.kcf, zf_unit, cfg.kcf.kernel_sigma, s)
+                r3 = jnp.stack([r_off[0], r_unit, r_off[1]])     # [3,T,S,S]
+                if cfg.train_site == "detect":
+                    zf_div = zf_unit
+            else:
+                r3 = kcf_ops.detect_scales_auto(
+                    bank.kcf, f3, cfg.kcf.kernel_sigma, cfg.kcf_impl,
+                    cfg.kcf_precision_resolved, cfg.kcf_block)   # [3,T,S,S]
             response = r3[1]
             dys, dxs, peaks = kcf_ops.peak_displacement(
                 r3.reshape(3 * t_cap, s, s))
@@ -406,13 +449,17 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
         # sample equals the refined-site crop up to circular edge wrap
         # and a window off-center by the (sub-pixel) displacement — a
         # same-frame spatial approximation the Hann window attenuates.
-        # rfft2(feats_unit) below is the same op on the same operand as
-        # inside step 2's detect chain, so XLA CSEs it; the net per-frame
-        # saving is the entire second extract+feature pass.
+        # The unit-scale divide-class spectrum from step 2 is reused
+        # directly (zf_div) on the XLA chain; the fallback recompute
+        # below only runs for kcf_impl="pallas" (where detect consumed
+        # raw features inside the fused kernel).
         yf = kcf_ops.make_yf(s, cfg.kcf.padding,
                              cfg.kcf.output_sigma_factor)
-        with fft_ops.precision_scope(cfg.kcf_precision_resolved):
-            zf = fft_ops.rfft2(feats_unit)
+        if zf_div is not None:
+            zf = zf_div
+        else:
+            with fft_ops.precision_scope(cfg.kcf_precision_resolved):
+                zf = fft_ops.rfft2(feats_unit)
         win = jnp.maximum(pred_boxes[:, 2:4] * cfg.kcf.padding, 1e-6)
         # Feature-pixel displacement of the corrected center from the
         # extraction (predicted) center: (dx, dy) = delta_px * S / win.
