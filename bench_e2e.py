@@ -26,6 +26,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "extra": {per-stage}}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -75,7 +76,10 @@ def main() -> None:
         d[f], v[f] = pad_detections(dets_list[f], max_dets)
     dj, vj = jnp.asarray(d), jnp.asarray(v)
 
-    spec = YoloSpec("yolov3-tiny", num_classes=80)
+    # TPU_MOT_STEM=s2d4 A/Bs the space-to-depth stem (r5) without
+    # touching tpu_mot/ between battery stages.
+    _stem = os.environ.get("TPU_MOT_STEM", "direct")
+    spec = YoloSpec("yolov3-tiny", num_classes=80, stem=_stem)
     det = YoloDetector.random_init(spec, max_out=max_dets, score_thr=0.3)
     cfg = TrackerConfig(max_tracks=128, max_detections=max_dets,
                         frame_height=height, frame_width=width)
@@ -140,7 +144,8 @@ def main() -> None:
     # ---- stage 4: fused e2e with the fast-detector combo ----------------
     # bf16 convs + parallel Fast NMS — the per-option deltas are recorded
     # separately in docs/BENCHMARKS.md; this is their combined number.
-    spec_bf16 = YoloSpec("yolov3-tiny", num_classes=80, dtype="bfloat16")
+    spec_bf16 = YoloSpec("yolov3-tiny", num_classes=80, dtype="bfloat16",
+                         stem=_stem)
     det_bf16 = YoloDetector.random_init(spec_bf16, max_out=max_dets,
                                         score_thr=0.3, nms_impl="fast")
 

@@ -65,7 +65,8 @@ def main() -> None:
         [np.roll(frames_u8, s * 7, axis=2) for s in range(n_streams)],
         axis=1))
 
-    spec = YoloSpec("yolov3-tiny", num_classes=80)
+    _stem = os.environ.get("TPU_MOT_STEM", "direct")
+    spec = YoloSpec("yolov3-tiny", num_classes=80, stem=_stem)
     det = YoloDetector.random_init(spec, max_out=max_dets, score_thr=0.3)
     cfg = TrackerConfig(max_tracks=128, max_detections=max_dets,
                         frame_height=height, frame_width=width)
@@ -124,7 +125,8 @@ def main() -> None:
     # these are the production levers: bf16 convs + Fast NMS, and the
     # strided-detector chunk (serve.multi_stream_sequence_strided,
     # detector on every 4th multistream frame).
-    spec_fast = YoloSpec("yolov3-tiny", num_classes=80, dtype="bfloat16")
+    spec_fast = YoloSpec("yolov3-tiny", num_classes=80, dtype="bfloat16",
+                         stem=_stem)
     det_fast = YoloDetector.random_init(spec_fast, max_out=max_dets,
                                         score_thr=0.3)
 

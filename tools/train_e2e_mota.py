@@ -221,22 +221,41 @@ def main() -> None:
     # per-tensor activation scaling breaks on) exist only in trained
     # nets.  Serve the SAME trained params through the bf16 and int8
     # paths and report the mAP deltas.
-    quant_maps = {"float32": round(m_ap["map"], 4)}
-    for dt in ("bfloat16", "int8"):
-        import dataclasses
-        spec_q = dataclasses.replace(spec, dtype=dt)
+    import dataclasses
+
+    def served_map(**repl):
+        """mAP@50 of the SAME trained params served through a replaced
+        spec (dtype and/or stem) — the end-to-end accuracy gate bf16-class
+        changes need (r4 lesson: bf16 corruptions hide from everything
+        but trained-net probes)."""
+        spec_q = dataclasses.replace(spec, **repl)
         dq, vq, cq = detect_batch(
             params, jnp.asarray(vframes), spec_q, (H, W), 64, 0.45, 0.05)
         dq, vq, cq = np.asarray(dq), np.asarray(vq), np.asarray(cq)
         pred_q = [(dq[f, vq[f], :4], dq[f, vq[f], 4], cq[f, vq[f]])
                   for f in range(len(vframes))]
         m_q = metrics.detection_map(pred_q, gt, num_classes=args.classes)
-        quant_maps[dt] = round(m_q["map"], 4)
+        return round(m_q["map"], 4)
+
+    quant_maps = {"float32": round(m_ap["map"], 4)}
+    for dt in ("bfloat16", "int8"):
+        quant_maps[dt] = served_map(dtype=dt)
     print(json.dumps({"phase": "quant_map", "map@50": quant_maps,
                       "delta_int8": round(
                           quant_maps["int8"] - quant_maps["float32"], 4),
                       "delta_bf16": round(
                           quant_maps["bfloat16"] - quant_maps["float32"],
+                          4)}), flush=True)
+
+    # r5: the s2d4 stem + the bf16 preprocess (gray resize in the net's
+    # compute dtype) gates on the trained net — VERDICT r4 items 1-2.
+    stem_maps = {"f32+s2d4": served_map(stem="s2d4"),
+                 "bf16+s2d4": served_map(dtype="bfloat16", stem="s2d4")}
+    print(json.dumps({"phase": "stem_map", "map@50": stem_maps,
+                      "delta_f32_s2d4": round(
+                          stem_maps["f32+s2d4"] - quant_maps["float32"], 4),
+                      "delta_bf16_s2d4": round(
+                          stem_maps["bf16+s2d4"] - quant_maps["bfloat16"],
                           4)}), flush=True)
 
     # --- phase 3: e2e detect→track scored MOTA ------------------------
