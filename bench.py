@@ -89,12 +89,10 @@ def main() -> None:
     # Experiment knobs (perf A/B only; the recorded metric uses defaults).
     kcf_impl = os.environ.get("TPU_MOT_KCF_IMPL", "auto")
     assign_impl = os.environ.get("TPU_MOT_ASSIGN_IMPL", "auto")
-    pyramid_impl = os.environ.get("TPU_MOT_PYRAMID_IMPL", "auto")
     kcf_precision = os.environ.get("TPU_MOT_KCF_PRECISION", "auto")
     cfg = TrackerConfig(max_tracks=128, max_detections=160,
                         frame_height=height, frame_width=width,
                         kcf_impl=kcf_impl, assign_impl=assign_impl,
-                        pyramid_impl=pyramid_impl,
                         kcf_precision=kcf_precision)
     d = np.zeros((n_frames, cfg.max_detections, 5), np.float32)
     v = np.zeros((n_frames, cfg.max_detections), bool)

@@ -458,7 +458,7 @@ def test_update_async_matches_update():
 
 def test_config_axes_cross_product_no_crash():
     """Every combination of the r3c config axes (class_aware x assoc_box
-    x assign_impl x pyramid_impl, pallas kernels in interpret mode on
+    x assign_impl, pallas kernels in interpret mode on
     CPU) must track the standard fixture without crashing, with finite
     outputs and a sane id count.  Exact per-axis semantics are pinned in
     their own tests; this is the cheap cross-product smoke that catches
@@ -474,14 +474,14 @@ def test_config_axes_cross_product_no_crash():
                                          classes=classes)
     for class_aware in (False, True):
         for assoc_box in ("refined", "predicted", "best"):
-            for assign_impl, pyramid_impl, roi_impl in (
-                    ("xla", "xla", "xla"),
-                    ("pallas", "fused", "pallas")):
+            for assign_impl, roi_impl in (
+                    ("xla", "xla"),
+                    ("pallas", "pallas")):
                 cfg = TrackerConfig(
                     max_tracks=8, max_detections=8, frame_height=96,
                     frame_width=128, n_init=1, roi_impl=roi_impl,
                     class_aware=class_aware, assoc_box=assoc_box,
-                    assign_impl=assign_impl, pyramid_impl=pyramid_impl)
+                    assign_impl=assign_impl)
                 _, tracks, outs = scan.track_sequence(frames, dets6, cfg)
                 assert np.isfinite(np.asarray(outs.boxes)).all(), (
                     class_aware, assoc_box, assign_impl)

@@ -328,62 +328,6 @@ def check_kcf():
     return results
 
 
-_PYRAMID_CHILD = r"""
-import sys
-import numpy as np
-import jax.numpy as jnp
-sys.path.insert(0, sys.argv[1])
-from tpu_mot.kernels import pyramid as pyr_k
-from tpu_mot.kernels import roi as roi_k
-rng = np.random.default_rng(3)
-for h, w in [(1080, 1920), (256, 384)]:
-    frame = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
-    ref = [np.asarray(x) for x in roi_k.build_pyramid(frame)]
-    got = [np.asarray(x) for x in pyr_k.build_pyramid_fused(frame)]
-    lh, lw = h, w
-    for lv, (r, g) in enumerate(zip(ref, got)):
-        assert r.shape == g.shape, (h, w, lv)
-        np.testing.assert_array_equal(g[:lh, :lw], r[:lh, :lw],
-                                      err_msg=f"{h}x{w} lv{lv}")
-        assert not g[lh:].any() and not g[:, lw:].any(), (h, w, lv)
-        lh, lw = -(-lh // 2), -(-lw // 2)
-    print(f"pyramid-child OK {h}x{w}", flush=True)
-"""
-
-
-def check_pyramid():
-    """Compiled fused pyramid kernel (kernels/pyramid.py) vs the XLA
-    reduce_window chain: u8 bit-parity, SUBPROCESS-ISOLATED and
-    NON-GATING.
-
-    Hardware status (r4, v5e): the compiled kernel intermittently
-    raises a TPU INTERNAL backend error at fetch — first reproducibly
-    at the odd 543x961 shape (tpu_parity_r4.log, _r4b), then in a later
-    session at 1080p itself (_r4d), a shape that had passed bit-parity
-    earlier the same day.  The abort POISONS the backend for every
-    subsequent device call in the process, so this check runs in a
-    child process and its failure is reported but does not gate the
-    harness exit code: the kernel is knob-closed (pyramid_impl "auto"
-    resolves to "xla" on bench evidence — it also LOST the pipeline
-    bench) and documented unstable-on-hardware in its header; interpret
-    mode covers all shapes bit-exactly on CPU
-    (tests/test_pyramid_fused.py, incl. the grid-exact slicing the r3
-    clamp-clobbering bug needed)."""
-    import subprocess
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proc = subprocess.run(
-        [sys.executable, "-c", _PYRAMID_CHILD, repo],
-        capture_output=True, text=True, timeout=1200)
-    if proc.returncode != 0:
-        tail = (proc.stderr or proc.stdout).strip().splitlines()[-12:]
-        raise RuntimeError(
-            "compiled fused-pyramid child failed (rc=%d); known unstable "
-            "kernel, knob-closed — see docstring. Child tail:\n%s"
-            % (proc.returncode, "\n".join(tail)))
-    n_ok = proc.stdout.count("pyramid-child OK")
-    return {"pyramid u8 bit-parity shapes passed (child)": float(n_ok)}
-
 
 def check_auction():
     """Compiled whole-solve auction kernel (kernels/auction.py) vs scipy
@@ -433,14 +377,13 @@ def main():
     failures = []
     # Each check is isolated: a hardware abort in one must not silence
     # the remaining checks — the harness reports every failure and
-    # exits nonzero at the end.  "pyramid" runs LAST, in a child
-    # process, and is NON-GATING: the knob-closed fused-pyramid kernel
-    # intermittently aborts the backend on this toolchain (see
-    # check_pyramid's docstring) and must not cost the harness its
-    # exit-0 signal for the kernels that actually ship.
-    non_gating = {"pyramid"}
+    # exits nonzero at the end.  (A non-gating child-process "pyramid"
+    # check existed while the knob-closed fused-pyramid kernel shipped;
+    # kernel and check were deleted r5 — docs/BENCHMARKS.md r4 pyramid
+    # section keeps the instability record.)
+    non_gating = set()
     for name, fn in [("roi", check_roi), ("kcf", check_kcf),
-                     ("auction", check_auction), ("pyramid", check_pyramid)]:
+                     ("auction", check_auction)]:
         try:
             res = fn()
         except Exception as e:  # noqa: BLE001 — report-and-continue harness

@@ -209,15 +209,11 @@ class TrackerConfig:
     kcf_precision: str = "auto"
     # Fused-kernel tracks per grid program (16 swept best on the v5e).
     kcf_block: int = 16
-    # Pyramid build implementation on the Pallas ROI path: "auto" |
-    # "fused" | "xla" ("fused" = kernels/pyramid.py one-pass kernel,
-    # "xla" = the reduce_window chain in kernels/roi.build_pyramid).
-    # "auto" resolves to "xla" on r4 bench evidence: the fused kernel
-    # LOST 0.122 vs 0.048 ms/frame standalone and 4770 -> 2819 fps in
-    # the pipeline (2026-08-19 v5e, tools/bench_pyramid_r4.log,
-    # bench_pyr_fused_r4.log) — knob closed, kernel kept for future
-    # toolchains.
-    pyramid_impl: str = "auto"
+    # (A pyramid_impl knob existed r3c-r4 for a fused one-pass Pallas
+    # pyramid kernel; it lost its bench A/B decisively AND was
+    # hardware-unstable, so kernel and knob were deleted in r5 — the
+    # reduce_window chain in kernels/roi.build_pyramid is the one
+    # implementation.  Record: docs/BENCHMARKS.md r4 pyramid section.)
     # Auction assignment implementation: "auto" | "pallas" | "xla"
     # (kernels/auction.py whole-solve-in-VMEM kernel vs
     # ops/assignment.py's lax.while_loop over HBM state).  "auto"
@@ -272,9 +268,6 @@ class TrackerConfig:
             raise ValueError(f"unknown assoc_box {self.assoc_box!r}")
         if self.assign_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown assign_impl {self.assign_impl!r}")
-        if self.pyramid_impl not in ("auto", "fused", "xla"):
-            raise ValueError(
-                f"unknown pyramid_impl {self.pyramid_impl!r}")
         if self.kcf_precision not in ("auto", "highest", "high",
                                       "fwd_high", "default"):
             raise ValueError(

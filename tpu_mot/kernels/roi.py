@@ -131,8 +131,22 @@ def build_pyramid(gray: jnp.ndarray, dtype=None):
 # detect-site operating point read nbuf=4 faster on the STANDALONE
 # float chain (tools/bench_roi_sweep_r4.log) — env overrides below
 # exist so bench.py can A/B the full pipeline without a code edit.
-TRACKS_PER_PROG = int(_os.environ.get("TPU_MOT_ROI_TPP", "16"))
-N_BUFFERS = int(_os.environ.get("TPU_MOT_ROI_NBUF", "8"))
+def _pos_env_int(env_var: str, default: str) -> int:
+    """Validated positive-int env knob (ADVICE r4: 0/negative/garbage
+    used to fail far away as an opaque Pallas grid/DMA error)."""
+    raw = _os.environ.get(env_var, default)
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(f"{env_var}={raw!r} is not an integer") from None
+    if val < 1:
+        raise ValueError(f"{env_var}={val} must be >= 1 (it sizes a "
+                         "Pallas grid/DMA pipeline)")
+    return val
+
+
+TRACKS_PER_PROG = _pos_env_int("TPU_MOT_ROI_TPP", "16")
+N_BUFFERS = _pos_env_int("TPU_MOT_ROI_NBUF", "8")
 # Resample matmul precision. Mosaic supports DEFAULT (1 bf16 pass) and
 # HIGHEST (6 passes) only; DEFAULT quantizes [0,1] pixel data to ~0.4%
 # (bf16 mantissa), far below detector jitter and sensor noise, and halves

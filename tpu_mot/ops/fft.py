@@ -60,20 +60,25 @@ _MODES = {"highest": ("highest", "highest"),
           "high": ("high", "high"),
           "fwd_high": ("high", "default"),
           "default": ("default", "default")}
-# Module default outside any scope (standalone/oracle use stays
+# Mode default outside any scope (standalone/oracle use stays
 # accuracy-first); the tracker scopes each trace per cfg.kcf_precision.
-_PREC_MODE = "highest"
+# The scoped mode is THREAD-LOCAL (ADVICE r4): trace-time scoping is
+# correct for the cfg-static jit call sites, but concurrent traces
+# (e.g. the async API compiling two cfgs from worker threads) must not
+# cross-contaminate each other's precision mode.
+import threading as _threading
+
+_PREC_TLS = _threading.local()
 
 
 def set_default_precision(mode: str) -> None:
-    global _PREC_MODE
     if mode not in _MODES:
         raise ValueError(f"unknown fft precision mode {mode!r}")
-    _PREC_MODE = mode
+    _PREC_TLS.mode = mode
 
 
 def get_default_precision() -> str:
-    return _PREC_MODE
+    return getattr(_PREC_TLS, "mode", "highest")
 
 
 @contextlib.contextmanager
@@ -81,35 +86,53 @@ def precision_scope(mode: str):
     """Trace-time scope pinning the DFT matmul precision mode (used by
     the *_auto dispatchers to honor cfg.kcf_precision on the XLA chain;
     safe because configs are jit statics — each cfg traces its own
-    program)."""
-    global _PREC_MODE
+    program).  Thread-local: concurrent traces do not interact."""
     if mode not in _MODES:
         raise ValueError(f"unknown fft precision mode {mode!r}")
-    prev = _PREC_MODE
-    _PREC_MODE = mode
+    prev = get_default_precision()
+    _PREC_TLS.mode = mode
     try:
         yield
     finally:
-        _PREC_MODE = prev
+        _PREC_TLS.mode = prev
 
 
 # Per-direction env overrides for A/B experiments (bench sessions only;
-# the shipped path is cfg.kcf_precision -> precision_scope).
+# the shipped path is cfg.kcf_precision -> precision_scope).  Validated
+# at import (ADVICE r4: a typo'd value used to surface only as a
+# KeyError deep inside tracing, and a leaked env var silently overrode
+# cfg.kcf_precision) and announced on stderr when active.
 import os as _os
-_FWD_OVR = _os.environ.get("TPU_MOT_FFT_FWD_PREC")
-_INV_OVR = _os.environ.get("TPU_MOT_FFT_INV_PREC")
+import sys as _sys
+
+
+def _prec_override(env_var: str):
+    val = _os.environ.get(env_var)
+    if val is None:
+        return None
+    if val not in _PRECISIONS:
+        raise ValueError(
+            f"{env_var}={val!r} is not a DFT matmul precision; expected "
+            f"one of {sorted(_PRECISIONS)}")
+    print(f"tpu_mot.ops.fft: {env_var}={val} overrides cfg.kcf_precision "
+          f"for this process", file=_sys.stderr)
+    return val
+
+
+_FWD_OVR = _prec_override("TPU_MOT_FFT_FWD_PREC")
+_INV_OVR = _prec_override("TPU_MOT_FFT_INV_PREC")
 # Stacked-DFT formulation A/B (see rfft2_matmul's docstring): same dot
 # products, 6 matmuls -> 2 per transform.  Default pending TPU evidence.
 _STACKED = _os.environ.get("TPU_MOT_FFT_STACKED", "0") == "1"
 
 
 def _einsum_fwd(*args):
-    prec = _FWD_OVR or _MODES[_PREC_MODE][0]
+    prec = _FWD_OVR or _MODES[get_default_precision()][0]
     return jnp.einsum(*args, precision=_PRECISIONS[prec])
 
 
 def _einsum_inv(*args):
-    prec = _INV_OVR or _MODES[_PREC_MODE][1]
+    prec = _INV_OVR or _MODES[get_default_precision()][1]
     return jnp.einsum(*args, precision=_PRECISIONS[prec])
 
 

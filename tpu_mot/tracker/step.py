@@ -140,19 +140,14 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             # float frames go through the luma conversion as before.
             pyr_src = (frame if (frame.ndim == 2
                                  and frame.dtype == jnp.uint8) else gray)
-            if cfg.pyramid_impl == "fused":
-                from tpu_mot.kernels import pyramid as _pyr
-                levels = _pyr.build_pyramid_fused(pyr_src)
-            else:
-                # "auto" resolves to the XLA reduce_window chain on
-                # bench evidence (2026-08-19, v5e): the fused kernel
-                # measured 0.122 vs 0.048 ms/frame standalone at 1080p
-                # and cost the pipeline 4770 -> 2819 fps
-                # (tools/bench_pyramid_r4.log, bench_pyr_fused_r4.log)
-                # — the one-pass idea loses to three launch-cheap
-                # reduce_windows XLA already overlaps.  Knob closed
-                # like kcf_impl's fused kernel (CLAUDE.md precedent).
-                levels = _roi.build_pyramid(pyr_src)
+            # The reduce_window chain won its r4 A/B outright: a
+            # fused one-pass Pallas pyramid measured 0.122 vs 0.048
+            # ms/frame standalone at 1080p, cost the pipeline
+            # 4770 -> 2819 fps, AND was hardware-unstable (intermittent
+            # TPU INTERNAL aborts that poison the backend) — deleted r5;
+            # evidence in docs/BENCHMARKS.md r4 pyramid section and
+            # tools/bench_pyramid_r4.log / bench_pyr_fused_r4.log.
+            levels = _roi.build_pyramid(pyr_src)
         else:
             levels = None
     else:
@@ -364,6 +359,11 @@ def step(bank: TrackBank, frame: jnp.ndarray, dets: jnp.ndarray,
             # MOTA/HOTA — the lax.while_loop round trips were the cost.
             # CPU keeps the XLA path (the kernel would run in interpret
             # mode there; equality is pinned by tests either way).
+            # NOTE (ADVICE r4): "auto" resolves via the process-default
+            # backend, not the device this trace will execute on — the
+            # supported deployments are single-platform (the TPU serves,
+            # CPU runs tests via conftest's platform pin).  Mixed-device
+            # use in one process must pass an explicit assign_impl.
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         matched_det, assign_iters, assign_conv = auction_assign_stats(
             cost, feasible, impl=impl)                           # [T]
