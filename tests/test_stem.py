@@ -22,7 +22,9 @@ VARIANTS = ["yolov3-tiny", "yolov2-tiny", "yolov2"]
 
 
 def _specs(name):
-    direct = YoloSpec(name, num_classes=4)
+    # Explicit "direct" baseline: the spec DEFAULT is "auto" (resolves
+    # to s2d4 at inference since r5), so the A/B must pin both sides.
+    direct = YoloSpec(name, num_classes=4, stem="direct")
     return direct, dataclasses.replace(direct, stem="s2d4")
 
 
@@ -164,3 +166,21 @@ def test_guards():
     with pytest.raises(ValueError, match="inference-only"):
         model.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)),
                    train=True)
+
+
+def test_auto_stem_resolution():
+    """stem="auto" (the default) = s2d4 at inference on supported
+    variants, direct for training / int8 / yolov3."""
+    from tpu_mot.models.yolo import resolved_stem
+
+    s = YoloSpec("yolov3-tiny", num_classes=4)
+    assert s.stem == "auto"
+    assert resolved_stem(s) == "s2d4"
+    assert resolved_stem(s, train=True) == "direct"
+    assert resolved_stem(
+        YoloSpec("yolov3-tiny", num_classes=4, dtype="int8")) == "direct"
+    assert resolved_stem(YoloSpec("yolov3", num_classes=4)) == "direct"
+    assert resolved_stem(
+        YoloSpec("yolov2", num_classes=4, dtype="bfloat16")) == "s2d4"
+    assert resolved_stem(
+        YoloSpec("yolov3-tiny", num_classes=4, stem="direct")) == "direct"

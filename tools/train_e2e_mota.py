@@ -103,7 +103,7 @@ def main() -> None:
     # Anchors sized for the fixture's 16-40 px objects after the
     # (H, W) → INPUT² resize (x0.8 / x1.07 scale): two heads so nearby
     # objects resolve on the stride-16 grid.
-    spec = YoloSpec("yolov3-tiny", num_classes=args.classes,
+    spec = YoloSpec("yolov3-tiny", num_classes=args.classes, stem="direct",
                     input_size=INPUT,
                     anchors=(((40, 40), (64, 64), (96, 96)),
                              ((12, 12), (20, 20), (30, 30))),

@@ -290,7 +290,8 @@ def cmd_video(args) -> int:
         print(f"could not read {args.input}", file=sys.stderr)
         return 1
     h, w = frames.shape[1:3]
-    spec = YoloSpec(args.model, num_classes=args.classes)
+    spec = YoloSpec(args.model, num_classes=args.classes,
+                    dtype=args.dtype, stem=args.stem)
     if args.weights:
         det = YoloDetector.from_darknet(spec, args.weights,
                                         max_out=args.max_dets,
@@ -387,6 +388,16 @@ def main(argv=None) -> int:
     p.add_argument("--weights", default=None, help="darknet .weights")
     p.add_argument("--model", default="yolov3-tiny")
     p.add_argument("--classes", type=int, default=80)
+    p.add_argument("--dtype", choices=("float32", "bfloat16", "int8"),
+                   default="float32",
+                   help="served conv dtype (bfloat16 measured fastest "
+                        "on the v5e; int8 measured slower — "
+                        "docs/BENCHMARKS.md)")
+    p.add_argument("--stem", choices=("auto", "direct", "s2d4"),
+                   default="auto",
+                   help="early-layer formulation; auto = the exact "
+                        "space-to-depth rewrite at inference where "
+                        "supported (docs/BENCHMARKS.md r5)")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--det-min", type=float, default=0.3)
     p.add_argument("--det-stride", type=int, default=1,

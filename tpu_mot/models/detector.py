@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_mot.models.yolo import YoloSpec, build_model, decode_head
+from tpu_mot.models.yolo import (YoloSpec, build_model, decode_head,
+                                 resolved_stem as _resolved_stem)
 from tpu_mot.ops.nms import nms_classwise
 
 
@@ -51,7 +52,7 @@ def detect_batch(params, frames: jnp.ndarray, spec: YoloSpec,
     s = spec.input_size
     if f.ndim == 3:
         f = jax.image.resize(f, (f.shape[0], s, s), "bilinear")
-        if spec.stem == "s2d4":
+        if _resolved_stem(spec) == "s2d4":
             # The s2d stem folds its first kernel over Cin for
             # replicated channels (yolo.ConvBlock._s2d_call gray path),
             # so a gray frame feeds the net as ONE channel — the

@@ -101,12 +101,19 @@ class YoloSpec:
     # net can train "direct" and serve "s2d4".  Inference-only
     # (supported: yolov3-tiny, yolov2-tiny, yolov2 — the pooled-stem
     # variants; yolov3's strided convs have no pool to collapse).
-    stem: str = "direct"
+    # "auto" (the default since r5) resolves per apply: s2d4 whenever it
+    # is supported and the call is inference, else direct — serving gets
+    # the fast stem with zero config (720p e2e exact 1565 -> 1917 fps,
+    # configs[4] strided-4 3377 -> 3883 agg fps/chip,
+    # tools/bench_e2e_r5_*.log, bench_configs4_r5_*.log) while training
+    # and int8 keep the direct composition.  resolved_stem() is the one
+    # resolution point.
+    stem: str = "auto"
 
     def __post_init__(self):
-        if self.stem not in ("direct", "s2d4"):
+        if self.stem not in ("auto", "direct", "s2d4"):
             raise ValueError(f"unknown stem {self.stem!r}; "
-                             "have ('direct', 's2d4')")
+                             "have ('auto', 'direct', 's2d4')")
         if self.stem == "s2d4":
             if self.name == "yolov3":
                 raise ValueError("yolov3's strided-conv stem has no pools "
@@ -254,6 +261,20 @@ class _BNParams(nn.Module):
         var = self.variable("batch_stats", "var", jnp.ones,
                             (self.features,), jnp.float32)
         return scale, bias, mean.value, var.value
+
+
+def resolved_stem(spec: "YoloSpec", train: bool = False) -> str:
+    """Resolve spec.stem="auto" for one apply: the s2d4 rewrite whenever
+    it is supported (pooled-stem variants, f32/bf16 conv path) and the
+    call is inference; the direct composition for training, int8, and
+    yolov3 (whose strided stem has no pools to collapse).  Explicit
+    "direct"/"s2d4" pass through (s2d4's support constraints were
+    validated by YoloSpec.__post_init__)."""
+    if spec.stem != "auto":
+        return spec.stem
+    if train or spec.dtype == "int8" or spec.name == "yolov3":
+        return "direct"
+    return "s2d4"
 
 
 class ConvBlock(nn.Module):
@@ -423,7 +444,7 @@ class YoloV3Tiny(nn.Module):
             quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
-        if self.spec.stem == "s2d4":
+        if resolved_stem(self.spec, train) == "s2d4":
             x = _stem_s2d4(x, cb, 16, 32, train)
         else:
             x = c(16)(x)
@@ -470,7 +491,7 @@ class YoloV2Tiny(nn.Module):
             f, k, dtype=dt, bn_momentum=self.spec.bn_momentum,
             quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
-        if self.spec.stem == "s2d4":
+        if resolved_stem(self.spec, train) == "s2d4":
             x = _stem_s2d4(x, cb, 16, 32, train)
             body = (64, 128, 256)
         else:
@@ -506,7 +527,7 @@ class YoloV2(nn.Module):
             quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
-        if self.spec.stem == "s2d4":
+        if resolved_stem(self.spec, train) == "s2d4":
             x = _stem_s2d4(x, cb, 32, 64, train)
         else:
             x = c(32)(x)
