@@ -138,7 +138,14 @@ def test_stacked_chain_matches_perterm(monkeypatch):
     and BOTH odd-width parities (16x17 and 16x15 exercise the
     Nyquist-less Hermitian fold from each side)."""
     rng = np.random.default_rng(21)
-    for h, w in ((64, 64), (32, 48), (16, 17), (16, 15)):
+    # Per-shape budgets preserve BOTH merged tests' original assertions
+    # (CLAUDE.md: tolerance budgets must not silently loosen): the
+    # deleted formulation test pinned (64,64)/(16,15) at atol 1e-5 and
+    # roundtrip 1e-4; this test's own shapes keep their 1e-4 spectra /
+    # 1e-3 roundtrip budget ((32,48) measures ~1.3e-5 — real fp
+    # reassociation, above the strict band).
+    for h, w, atol, x_atol in ((64, 64, 1e-5, 1e-4), (32, 48, 1e-4, 1e-3),
+                               (16, 17, 1e-4, 1e-3), (16, 15, 1e-5, 1e-4)):
         x = jnp.asarray(rng.standard_normal((3, h, w)).astype(np.float32))
         base_f = fft_ops.rfft2(x, backend="matmul")
         base_x = fft_ops.irfft2(base_f, w, backend="matmul")
@@ -148,14 +155,14 @@ def test_stacked_chain_matches_perterm(monkeypatch):
         monkeypatch.setattr(fft_ops, "_STACKED", False)
         np.testing.assert_allclose(np.asarray(got_f.re),
                                    np.asarray(base_f.re),
-                                   rtol=1e-5, atol=1e-4)
+                                   rtol=1e-5, atol=atol)
         np.testing.assert_allclose(np.asarray(got_f.im),
                                    np.asarray(base_f.im),
-                                   rtol=1e-5, atol=1e-4)
+                                   rtol=1e-5, atol=atol)
         np.testing.assert_allclose(np.asarray(got_x), np.asarray(base_x),
-                                   rtol=1e-5, atol=1e-4)
+                                   rtol=1e-5, atol=atol)
         np.testing.assert_allclose(np.asarray(got_x), np.asarray(x),
-                                   rtol=1e-4, atol=1e-3)
+                                   rtol=1e-4, atol=x_atol)
 
 
 def test_stacked_chain_full_tracker_step(monkeypatch):

@@ -8,7 +8,7 @@ Spies on ops.fft.rfft2 at trace time (configs are jit statics; the
 traced-Python wrapper records every transform's shape + class).  CPU
 numerics are class-independent, so goldens/tracking parity is covered
 elsewhere — this pins the WIRING the TPU throughput win depends on
-(tools/bench_variants_r5.log: fhog31+3-scale 2309.6 -> 2646.3 fps).
+(tools/bench_variants_r5.log: fhog31+3-scale 2309.6 -> 2612.8 fps).
 """
 
 import numpy as np

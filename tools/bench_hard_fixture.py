@@ -136,6 +136,16 @@ def main() -> None:
     run("shipped defaults")
     run("shipped + output_max_tsu=1", output_max_tsu=1)
 
+    if "--sweep" in sys.argv:
+        # Lifecycle operating points under dropout+FP stress: n_init
+        # trades birth delay (DetA under 25% dropout) against FP-track
+        # suppression (4 FP/frame); max_age_tentative bounds how long a
+        # possibly-FP tentative track may coast.
+        for n_init in (1, 2, 3):
+            for mat in (1, 2):
+                run(f"sweep n_init={n_init} max_age_tentative={mat}",
+                    n_init=n_init, max_age_tentative=mat)
+
 
 if __name__ == "__main__":
     main()

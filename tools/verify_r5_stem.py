@@ -20,7 +20,10 @@ def main() -> int:
     from tpu_mot.models.yolo import YoloSpec
 
     print("devices:", jax.devices(), flush=True)
-    spec_d = YoloSpec("yolov3-tiny", num_classes=4, dtype="bfloat16")
+    # stem="direct" explicitly: the spec DEFAULT is "auto" (s2d4 at
+    # inference since r5), and this tool exists to compare the two.
+    spec_d = YoloSpec("yolov3-tiny", num_classes=4, dtype="bfloat16",
+                      stem="direct")
     spec_s = dataclasses.replace(spec_d, stem="s2d4")
     det = YoloDetector.random_init(spec_d, seed=0)
 

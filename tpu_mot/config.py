@@ -157,9 +157,19 @@ class TrackerConfig:
     assoc_box: str = "auto"
 
     # Lifecycle (SORT-style tentative/confirmed/lost state machine).
-    n_init: int = 3                # hits to confirm a tentative track
+    # n_init 3 -> 2 and max_age_tentative 1 -> 2 (r5, 2026-08-19,
+    # tools/bench_hard_sweep_r5.log + the canonical-fixture A/B in the
+    # same commit): one frame less birth delay and one missed frame of
+    # tentative grace lift the canonical fixture MOTA 0.9688 -> 0.9844 /
+    # HOTA 0.923 -> 0.9374 (the whole late-birth gap measured by
+    # tools/hota_ceiling.py) and the dropout+FP hard fixture HOTA
+    # 0.847 -> 0.874.  n_init=1 COLLAPSES under false positives (every
+    # FP births an emitted track: hard-fixture DetA 0.85 -> 0.52) — at
+    # FP rates well above ~4/frame@1080p the SORT-lineage n_init=3 may
+    # be the safer operating point.
+    n_init: int = 2                # hits to confirm a tentative track
     max_age: int = 30              # frames unmatched before a track dies
-    max_age_tentative: int = 1     # unmatched frames allowed while tentative
+    max_age_tentative: int = 2     # unmatched frames allowed while tentative
 
     # KCF integration: run correlation detect to refine predicted boxes.
     use_kcf: bool = True

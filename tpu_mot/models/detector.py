@@ -52,7 +52,7 @@ def detect_batch(params, frames: jnp.ndarray, spec: YoloSpec,
     s = spec.input_size
     if f.ndim == 3:
         f = jax.image.resize(f, (f.shape[0], s, s), "bilinear")
-        if _resolved_stem(spec) == "s2d4":
+        if _resolved_stem(spec, hw=(s, s)) == "s2d4":
             # The s2d stem folds its first kernel over Cin for
             # replicated channels (yolo.ConvBlock._s2d_call gray path),
             # so a gray frame feeds the net as ONE channel — the

@@ -263,16 +263,22 @@ class _BNParams(nn.Module):
         return scale, bias, mean.value, var.value
 
 
-def resolved_stem(spec: "YoloSpec", train: bool = False) -> str:
+def resolved_stem(spec: "YoloSpec", train: bool = False,
+                  hw=None) -> str:
     """Resolve spec.stem="auto" for one apply: the s2d4 rewrite whenever
-    it is supported (pooled-stem variants, f32/bf16 conv path) and the
-    call is inference; the direct composition for training, int8, and
-    yolov3 (whose strided stem has no pools to collapse).  Explicit
-    "direct"/"s2d4" pass through (s2d4's support constraints were
-    validated by YoloSpec.__post_init__)."""
+    it is supported (pooled-stem variants, f32/bf16 conv path, input
+    H/W divisible by 4) and the call is inference; the direct
+    composition for training, int8, yolov3 (whose strided stem has no
+    pools to collapse), and odd input extents — a DEFAULT nobody opted
+    into must never turn a previously-valid shape into a trace error.
+    Explicit "direct"/"s2d4" pass through (s2d4's support constraints
+    were validated by YoloSpec.__post_init__; an explicit s2d4 on an
+    indivisible shape still raises in _stem_s2d4)."""
     if spec.stem != "auto":
         return spec.stem
     if train or spec.dtype == "int8" or spec.name == "yolov3":
+        return "direct"
+    if hw is not None and (hw[0] % 4 or hw[1] % 4):
         return "direct"
     return "s2d4"
 
@@ -444,7 +450,7 @@ class YoloV3Tiny(nn.Module):
             quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
-        if resolved_stem(self.spec, train) == "s2d4":
+        if resolved_stem(self.spec, train, x.shape[1:3]) == "s2d4":
             x = _stem_s2d4(x, cb, 16, 32, train)
         else:
             x = c(16)(x)
@@ -491,7 +497,7 @@ class YoloV2Tiny(nn.Module):
             f, k, dtype=dt, bn_momentum=self.spec.bn_momentum,
             quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
-        if resolved_stem(self.spec, train) == "s2d4":
+        if resolved_stem(self.spec, train, x.shape[1:3]) == "s2d4":
             x = _stem_s2d4(x, cb, 16, 32, train)
             body = (64, 128, 256)
         else:
@@ -527,7 +533,7 @@ class YoloV2(nn.Module):
             quant=quant, **kw)
         c = lambda f, k=3, **kw: (lambda y: cb(f, k, **kw)(y, train))
 
-        if resolved_stem(self.spec, train) == "s2d4":
+        if resolved_stem(self.spec, train, x.shape[1:3]) == "s2d4":
             x = _stem_s2d4(x, cb, 32, 64, train)
         else:
             x = c(32)(x)
