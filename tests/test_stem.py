@@ -184,3 +184,20 @@ def test_auto_stem_resolution():
         YoloSpec("yolov2", num_classes=4, dtype="bfloat16")) == "s2d4"
     assert resolved_stem(
         YoloSpec("yolov3-tiny", num_classes=4, stem="direct")) == "direct"
+    # Shape fallback: an auto default must never turn a previously-valid
+    # non-multiple-of-4 input into a trace error.
+    assert resolved_stem(s, hw=(418, 418)) == "direct"
+    assert resolved_stem(s, hw=(416, 416)) == "s2d4"
+
+
+def test_auto_stem_odd_shape_runs_direct():
+    """A full model apply on a non-div-4 input under the auto default
+    must run (via the direct fallback), not raise.  yolov2-tiny: the
+    single-head pooled variant accepts any even-ish extent (yolov3-tiny
+    needs /32 for its route concat, so every valid size is /4 there and
+    the fallback is moot)."""
+    spec = YoloSpec("yolov2-tiny", num_classes=2)
+    m = build_model(spec)
+    var = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    out = m.apply(var, jnp.zeros((1, 98, 98, 3)))
+    assert all(np.isfinite(np.asarray(h)).all() for h in out)
