@@ -90,10 +90,12 @@ def main() -> None:
     kcf_impl = os.environ.get("TPU_MOT_KCF_IMPL", "auto")
     assign_impl = os.environ.get("TPU_MOT_ASSIGN_IMPL", "auto")
     kcf_precision = os.environ.get("TPU_MOT_KCF_PRECISION", "auto")
+    scan_unroll = int(os.environ.get("TPU_MOT_SCAN_UNROLL", "1"))
     cfg = TrackerConfig(max_tracks=128, max_detections=160,
                         frame_height=height, frame_width=width,
                         kcf_impl=kcf_impl, assign_impl=assign_impl,
-                        kcf_precision=kcf_precision)
+                        kcf_precision=kcf_precision,
+                        scan_unroll=scan_unroll)
     d = np.zeros((n_frames, cfg.max_detections, 5), np.float32)
     v = np.zeros((n_frames, cfg.max_detections), bool)
     for f in range(n_frames):

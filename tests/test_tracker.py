@@ -299,6 +299,39 @@ def test_init_with_no_detections_and_empty_updates():
     assert len(tracks) == 3                # confirmed on the next match
 
 
+def test_scan_unroll_parity():
+    """cfg.scan_unroll must be a pure scheduling knob: identical outputs
+    (bit-exact on CPU) for unroll 1/2/3, including a non-divisible
+    sequence length and the masked frame_valid path."""
+    import jax.numpy as jnp
+    from tpu_mot.tracker import bank as bank_mod
+    from tpu_mot.tracker.api import pad_detections
+
+    frames, dets, _ = _make_scene(n_obj=6, n_frames=11, seed=3)
+    base = dict(max_tracks=8, max_detections=8, frame_height=240,
+                frame_width=320, roi_impl="xla")
+    n = len(frames)
+    d = np.zeros((n, 8, 5), np.float32)
+    v = np.zeros((n, 8), bool)
+    for f in range(n):
+        d[f], v[f] = pad_detections(dets[f], 8)
+    fj, dj, vj = jnp.asarray(frames), jnp.asarray(d), jnp.asarray(v)
+    fv = jnp.asarray(np.arange(n) < n - 2)       # 2 masked tail frames
+
+    ref = None
+    for unroll in (1, 2, 3):
+        cfg = TrackerConfig(scan_unroll=unroll, **base)
+        bank, out = scan.run_sequence(bank_mod.empty_bank(cfg), fj, dj,
+                                      vj, cfg)
+        bankm, outm = scan.run_sequence(bank_mod.empty_bank(cfg), fj, dj,
+                                        vj, cfg, frame_valid=fv)
+        got = jax.tree.map(np.asarray, (bank, out, bankm, outm))
+        if ref is None:
+            ref = got
+        else:
+            jax.tree.map(np.testing.assert_array_equal, ref, got)
+
+
 def test_output_max_tsu_gates_coasting_tracks():
     """output_max_tsu=0 emits only tracks matched THIS frame (SORT
     convention); coasting confirmed tracks are suppressed from output but

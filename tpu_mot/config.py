@@ -219,6 +219,14 @@ class TrackerConfig:
     kcf_precision: str = "auto"
     # Fused-kernel tracks per grid program (16 swept best on the v5e).
     kcf_block: int = 16
+    # run_sequence lax.scan unroll factor.  >1 lets XLA schedule frame
+    # t+1's detection-independent work (pyramid build, frame DMA) against
+    # frame t's tracker math inside one fused body — the bounded version
+    # of the r5 batched-pyramid hoist (which LOST 1.7% by prefetching the
+    # whole chunk up front).  1 = the measured default (r5d bracketed A/B
+    # on TPU: ctl 4985.9 / unroll=2 ... / ctl ...; see
+    # docs/BENCHMARKS.md r5d section and tools/bench_unroll_*_r5d.log).
+    scan_unroll: int = 1
     # (A pyramid_impl knob existed r3c-r4 for a fused one-pass Pallas
     # pyramid kernel; it lost its bench A/B decisively AND was
     # hardware-unstable, so kernel and knob were deleted in r5 — the

@@ -45,7 +45,8 @@ def run_sequence(bank, frames: jnp.ndarray, dets: jnp.ndarray,
         return new_bank, out
 
     if frame_valid is None:
-        return jax.lax.scan(body, bank, (frames, dets, det_valid))
+        return jax.lax.scan(body, bank, (frames, dets, det_valid),
+                            unroll=cfg.scan_unroll)
 
     def body_masked(carry, inp):
         frame, det, valid, fv = inp
@@ -58,7 +59,8 @@ def run_sequence(bank, frames: jnp.ndarray, dets: jnp.ndarray,
         return kept, out
 
     return jax.lax.scan(body_masked, bank,
-                        (frames, dets, det_valid, frame_valid))
+                        (frames, dets, det_valid, frame_valid),
+                        unroll=cfg.scan_unroll)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "stride",
